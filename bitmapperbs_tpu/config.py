@@ -1,0 +1,58 @@
+"""AlignerConfig: one frozen, hashable config object (SURVEY.md section 5.6).
+
+The reference's hand-rolled argv parser + compiled-in #define thresholds become
+a single dataclass used as a static jit argument; the CLI maps 1:1 onto it.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignerConfig:
+    # --- error model -------------------------------------------------------
+    max_errors: int = 4          # -e : edit-distance budget per read
+    indels: bool = True          # False -> Hamming-only fast path (config 1)
+
+    # --- seeding policy (frozen spec: pigeonhole e+1 equal slices) ---------
+    max_seed_occ: int = 64       # seed interval wider than this is skipped
+    max_candidates: int = 512    # per read per (pattern,block) after merge
+
+    # --- library protocol --------------------------------------------------
+    non_directional: bool = False  # --pbat / non-directional: add PAT_GA
+    paired: bool = False
+    min_insert: int = 0
+    max_insert: int = 1000
+
+    # --- batching ----------------------------------------------------------
+    batch_size: int = 4096       # reads per device batch (per shard)
+    read_len_bucket: int = 160   # padded read length (SURVEY hard-part 4)
+
+    # --- device / parallelism ---------------------------------------------
+    mesh_shape: tuple[int, ...] = (1,)
+    mesh_axes: tuple[str, ...] = ("data",)
+    use_pallas: bool = True      # False -> pure-jnp kernels (CPU tests)
+
+    # --- output ------------------------------------------------------------
+    report_ambiguous: bool = True   # emit MAPQ-0 record vs suppress
+    sam_rg: str | None = None
+
+    @property
+    def num_seeds(self) -> int:
+        return self.max_errors + 1
+
+    @property
+    def band(self) -> int:
+        """Myers band half-width == max_errors; full band 2e+1 columns."""
+        return self.max_errors
+
+    def replace(self, **kw) -> "AlignerConfig":
+        return dataclasses.replace(self, **kw)
+
+    def validate(self) -> None:
+        if self.max_errors < 0 or self.max_errors > 15:
+            raise ValueError("max_errors must be in [0, 15]")
+        if self.paired and self.min_insert > self.max_insert:
+            raise ValueError("min_insert > max_insert")
+        if self.read_len_bucket % 32 != 0:
+            raise ValueError("read_len_bucket must be a multiple of 32")

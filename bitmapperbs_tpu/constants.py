@@ -1,0 +1,113 @@
+"""Core encodings and frozen semantic constants.
+
+This module freezes the alphabet / strand / conversion conventions for the whole
+framework.  Everything else (oracle, device kernels, SAM writer) derives from
+these definitions, so they must never change silently.
+
+Reference parity: BitMapperBS (chhylp123/BitMapperBS) indexes only the
+C->T-converted genome (forward and reverse-complement strands) and treats a
+G->A-space search as a C->T-space search of the reverse-complemented pattern
+(SURVEY.md section 0 item 2; the reference tree was unavailable, so citations are
+to the survey spec rather than file:line).
+
+Base encoding (original, 4-letter space)
+----------------------------------------
+    A=0, C=1, G=2, T=3          (2-bit; complement(x) = 3 - x)
+    N is carried as a separate mask plane, never as a code.
+
+Converted (3-letter FM) space
+-----------------------------
+    SENTINEL=0, A=1, G=2, T=3   (C never occurs after C->T conversion)
+    Genome N bases are mapped to A in the converted text (arbitrary but frozen;
+    verification against the *original* genome treats N as mismatching
+    everything, so this only risks spurious seeds, never wrong output).
+
+Blocks
+------
+The index holds two "blocks" per genome:
+    block 0: CT(W)        -- C->T conversion of the forward genome
+    block 1: CT(rc(W))    -- C->T conversion of the reverse complement
+Positions inside a block are uint32 (a human strand, ~3.1e9 bp, exceeds int32
+but fits uint32).  A block-1 hit at block offset `q` spanning `s` reference
+bases corresponds to forward-genome interval [L - q - s, L - q).
+
+Patterns
+--------
+    pattern 0: CT(read)             -- directional libraries
+    pattern 1: CT(revcomp(read))    -- added for non-directional / PBAT
+Bismark-convention conversion tags follow from (block, pattern):
+    (block 0, pat 0) -> XR=CT XG=CT  (OT),   FLAG fwd
+    (block 1, pat 0) -> XR=CT XG=GA  (OB),   FLAG reverse
+    (block 0, pat 1) -> XR=GA XG=CT  (CTOT), FLAG reverse
+    (block 1, pat 1) -> XR=GA XG=GA  (CTOB), FLAG fwd
+"""
+
+# ---- original 4-letter space ------------------------------------------------
+A, C, G, T = 0, 1, 2, 3
+BASE_CHARS = "ACGT"
+N_CODE = 4  # host-side only; device carries an N mask plane instead
+
+# ---- converted 3-letter FM space -------------------------------------------
+SENTINEL = 0
+CONV_A, CONV_G, CONV_T = 1, 2, 3
+CONV_ALPHA = 4  # sentinel + 3 letters
+CONV_CHARS = "$AGT"
+
+# original code -> converted code (C->T collapse, N(4)->A)
+#            A        C       G       T       N
+CONV_MAP = (CONV_A, CONV_T, CONV_G, CONV_T, CONV_A)
+
+# ---- blocks / patterns / strand bookkeeping --------------------------------
+BLOCK_FWD = 0  # CT(W)
+BLOCK_RC = 1   # CT(rc(W))
+PAT_CT = 0     # CT(read)
+PAT_GA = 1     # CT(revcomp(read))  == a G->A-space search of the read
+
+# (block, pattern) -> SAM reverse-strand flag bit set?
+IS_REVERSE = {(0, 0): False, (1, 0): True, (0, 1): True, (1, 1): False}
+# (block, pattern) -> (XR, XG) Bismark-style conversion tags
+CONV_TAGS = {(0, 0): ("CT", "CT"), (1, 0): ("CT", "GA"),
+             (0, 1): ("GA", "CT"), (1, 1): ("GA", "GA")}
+
+# ---- FM-index physical layout ----------------------------------------------
+# Checkpointed bit-plane BWT: one row per CP_BLOCK BWT positions.
+#   row = [cnt_sentinel, cnt_A, cnt_G, cnt_T,          (uint32 cumulative occ
+#          p0w0..p0w3,                                   before this row)
+#          p1w0..p1w3]                                  (bit-planes, 32b words,
+# 12 uint32 per 128 positions.                           LSB = lowest position)
+CP_BLOCK = 128
+CP_WORDS = CP_BLOCK // 32          # 4 words per plane per row
+CP_ROW_U32 = CONV_ALPHA + 2 * CP_WORDS  # 12
+
+# SA sampling (text-order): SA rows i with SA[i] % SA_SAMPLE_RATE == 0 are
+# marked; an LF walk reaches a mark in < SA_SAMPLE_RATE steps (bounded unroll).
+SA_SAMPLE_RATE = 32
+# mark-rank rows: [cum_marks, 4 words of mark bits] per 128 SA rows
+MARK_ROW_U32 = 1 + CP_WORDS  # 5
+
+# ---- SAM flags --------------------------------------------------------------
+FLAG_PAIRED = 0x1
+FLAG_PROPER = 0x2
+FLAG_UNMAPPED = 0x4
+FLAG_MATE_UNMAPPED = 0x8
+FLAG_REVERSE = 0x10
+FLAG_MATE_REVERSE = 0x20
+FLAG_READ1 = 0x40
+FLAG_READ2 = 0x80
+
+# ---- MAPQ rule (frozen; our spec, SURVEY.md section 7 hard-part 3) ----------
+# d1 = best distance, d2 = second-best distinct-locus distance (None if absent)
+#   tie at best (ambiguous)      -> MAPQ 0
+#   gap = d2 - d1: 1 -> 20, 2 -> 30, 3 -> 40, >=4 or no second -> 42
+MAPQ_TABLE = {0: 0, 1: 20, 2: 30, 3: 40}
+MAPQ_MAX = 42
+
+
+def mapq_from_gap(d1: int, d2) -> int:
+    """Deterministic MAPQ from best/second-best distance gap."""
+    if d2 is None:
+        return MAPQ_MAX
+    gap = int(d2) - int(d1)
+    if gap >= 4:
+        return MAPQ_MAX
+    return MAPQ_TABLE[max(gap, 0)]

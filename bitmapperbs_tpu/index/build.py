@@ -1,0 +1,259 @@
+"""Index construction: FASTA -> packed bisulfite FM-index artifacts.
+
+Reference parity (SURVEY.md C2/C3/C5/C6): FASTA parse + genome packing,
+bisulfite text construction, BWT/occ checkpoint building, SA sampling.
+The reference builds ONE FM-index over CT(W) ++ CT(rc(W)); we build the same
+converted texts as TWO blocks so every device position fits uint32
+(SURVEY.md section 7 hard-part 6: a 6.2e9 concatenated text overflows both
+int32 and uint32; one strand, ~3.1e9, fits uint32).
+
+Physical layout is defined in bitmapperbs_tpu.constants (CP_BLOCK etc.).
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import io
+import json
+import os
+
+import numpy as np
+
+from bitmapperbs_tpu import constants as K
+from bitmapperbs_tpu.index import sais
+from bitmapperbs_tpu.utils import dna
+
+CONTIG_PAD = 256  # N padding before/between/after contigs; >= any verify window
+
+
+@dataclasses.dataclass
+class Genome:
+    """Original (unconverted) genome, concatenated with N padding."""
+
+    names: list[str]
+    offsets: np.ndarray   # int64[num_contigs] start of each contig in `codes`
+    lengths: np.ndarray   # int64[num_contigs]
+    codes: np.ndarray     # uint8[L] in {0..4}, N padding included
+
+    @property
+    def length(self) -> int:
+        return len(self.codes)
+
+    def pos_to_contig(self, pos: int) -> tuple[int, int]:
+        """Forward-genome position -> (contig_idx, 0-based coord)."""
+        i = int(np.searchsorted(self.offsets, pos, side="right")) - 1
+        return i, pos - int(self.offsets[i])
+
+    def packed_planes(self) -> dict[str, np.ndarray]:
+        """Bit-packed planes of the original genome, both orientations.
+
+        Returns g0/g1 (code bit planes, LSB = lowest position) and gn (N mask)
+        for the forward genome, and r0/r1/rn for rc(W).  Block-1 verification
+        reads rc(W) directly instead of bit-reversing forward words in-kernel.
+        """
+        out = {}
+        for pref, codes in (("g", self.codes), ("r", dna.revcomp(self.codes))):
+            isn = codes == K.N_CODE
+            c = np.where(isn, 0, codes).astype(np.uint8)
+            out[pref + "0"] = _pack_bits(c & 1)
+            out[pref + "1"] = _pack_bits((c >> 1) & 1)
+            out[pref + "n"] = _pack_bits(isn.astype(np.uint8))
+        return out
+
+
+def parse_fasta(path_or_text) -> Genome:
+    """Multi-contig FASTA -> Genome with CONTIG_PAD Ns around each contig."""
+    if isinstance(path_or_text, (str, os.PathLike)) and os.path.exists(path_or_text):
+        import gzip
+
+        opener = gzip.open if str(path_or_text).endswith(".gz") else open
+        with opener(path_or_text, "rt") as f:
+            text = f.read()
+    else:
+        text = path_or_text
+    names, seqs, cur = [], [], None
+    for line in io.StringIO(text):
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith(">"):
+            names.append(line[1:].split()[0])
+            cur = []
+            seqs.append(cur)
+        else:
+            if cur is None:
+                raise ValueError("FASTA sequence line before any '>' header")
+            cur.append(line)
+    if not names:
+        raise ValueError("no contigs in FASTA")
+    pad = np.full(CONTIG_PAD, K.N_CODE, dtype=np.uint8)
+    pieces, offsets, lengths = [pad], [], []
+    pos = CONTIG_PAD
+    for s in seqs:
+        codes = dna.encode("".join(s))
+        offsets.append(pos)
+        lengths.append(len(codes))
+        pieces.append(codes)
+        pieces.append(pad)
+        pos += len(codes) + CONTIG_PAD
+    return Genome(
+        names=names,
+        offsets=np.asarray(offsets, dtype=np.int64),
+        lengths=np.asarray(lengths, dtype=np.int64),
+        codes=np.concatenate(pieces),
+    )
+
+
+def _pack_bits(bits: np.ndarray) -> np.ndarray:
+    """uint8[0/1] array -> uint32 words, LSB = lowest position."""
+    n = len(bits)
+    npad = -n % 32
+    if npad:
+        bits = np.concatenate([bits, np.zeros(npad, dtype=np.uint8)])
+    return np.packbits(bits, bitorder="little").view("<u4").copy()
+
+
+@dataclasses.dataclass
+class PackedBlock:
+    """One FM-index block (SURVEY.md C5-C8 artifacts) over a converted text."""
+
+    n: int                    # text length including the trailing sentinel
+    cbase: np.ndarray         # uint32[4]: C[c] = # symbols with code < c
+    cp_rows: np.ndarray       # uint32[R, CP_ROW_U32] checkpointed bit-plane BWT
+    mark_rows: np.ndarray     # uint32[R, MARK_ROW_U32] SA-sample mark bits
+    sa_samples: np.ndarray    # uint32[num_marks] SA values at marked rows
+
+    def nbytes(self) -> int:
+        return (self.cbase.nbytes + self.cp_rows.nbytes
+                + self.mark_rows.nbytes + self.sa_samples.nbytes)
+
+
+def build_block(conv_text: np.ndarray, sa: np.ndarray | None = None) -> PackedBlock:
+    """Converted text (codes 1..3, no sentinel) -> PackedBlock.
+
+    Reference parity: C5 (BWT + occ checkpoints) and C6 (SA sampling).
+    """
+    text = np.concatenate([
+        np.ascontiguousarray(conv_text, dtype=np.uint8),
+        np.zeros(1, dtype=np.uint8),   # sentinel
+    ])
+    n = len(text)
+    if n - 1 >= 2**32 - 1:
+        raise ValueError("block text exceeds uint32 positions")
+    if sa is None:
+        sa = sais.suffix_array(text)
+    bwt = text[(sa - 1) % n]
+
+    # cumulative alphabet counts C[c]
+    hist = np.bincount(text, minlength=K.CONV_ALPHA).astype(np.uint64)
+    cbase = np.zeros(K.CONV_ALPHA, dtype=np.uint32)
+    cbase[1:] = np.cumsum(hist)[:-1].astype(np.uint32)
+
+    rows = -(-n // K.CP_BLOCK)
+    npad = rows * K.CP_BLOCK - n
+    bwt_pad = np.concatenate([bwt, np.zeros(npad, dtype=np.uint8)])
+
+    cp = np.zeros((rows, K.CP_ROW_U32), dtype=np.uint32)
+    per_row = bwt_pad.reshape(rows, K.CP_BLOCK)
+    for c in range(K.CONV_ALPHA):
+        ind = per_row == c
+        # count of c strictly before each row (padding is past every valid i)
+        cnt = np.zeros(rows, dtype=np.uint64)
+        cnt[1:] = np.cumsum(ind.sum(axis=1, dtype=np.uint64))[:-1]
+        if c == 0:  # padding bytes are 0s; remove them from nothing (pad at end)
+            pass
+        cp[:, c] = cnt.astype(np.uint32)
+    p0 = _pack_bits((bwt_pad & 1).astype(np.uint8)).reshape(rows, K.CP_WORDS)
+    p1 = _pack_bits(((bwt_pad >> 1) & 1).astype(np.uint8)).reshape(rows, K.CP_WORDS)
+    cp[:, K.CONV_ALPHA:K.CONV_ALPHA + K.CP_WORDS] = p0
+    cp[:, K.CONV_ALPHA + K.CP_WORDS:] = p1
+
+    # SA sampling, text-order: mark rows whose SA value % rate == 0
+    marked = (sa % K.SA_SAMPLE_RATE) == 0
+    marked_pad = np.concatenate([marked, np.zeros(npad, dtype=bool)])
+    mk = np.zeros((rows, K.MARK_ROW_U32), dtype=np.uint32)
+    cnt = np.zeros(rows, dtype=np.uint64)
+    cnt[1:] = np.cumsum(marked_pad.reshape(rows, K.CP_BLOCK).sum(axis=1, dtype=np.uint64))[:-1]
+    mk[:, 0] = cnt.astype(np.uint32)
+    mk[:, 1:] = _pack_bits(marked_pad.astype(np.uint8)).reshape(rows, K.CP_WORDS)
+    sa_samples = sa[marked].astype(np.uint32)
+
+    return PackedBlock(n=n, cbase=cbase, cp_rows=cp, mark_rows=mk,
+                       sa_samples=sa_samples)
+
+
+@dataclasses.dataclass
+class BSIndex:
+    """Full bisulfite index: original genome + two converted FM blocks."""
+
+    genome: Genome
+    blocks: list[PackedBlock]   # [BLOCK_FWD over CT(W), BLOCK_RC over CT(rc(W))]
+    meta: dict
+
+    def nbytes(self) -> int:
+        return sum(b.nbytes() for b in self.blocks) + self.genome.codes.nbytes
+
+
+INDEX_VERSION = 1
+
+
+def build_index(fasta) -> BSIndex:
+    """FASTA -> BSIndex (SURVEY.md call stack 3.1)."""
+    genome = parse_fasta(fasta)
+    ct_fwd = dna.ct_convert(genome.codes)
+    ct_rc = dna.ct_convert(dna.revcomp(genome.codes))
+    blocks = [build_block(ct_fwd), build_block(ct_rc)]
+    meta = {
+        "version": INDEX_VERSION,
+        "genome_sha256": hashlib.sha256(genome.codes.tobytes()).hexdigest(),
+        "cp_block": K.CP_BLOCK,
+        "sa_sample_rate": K.SA_SAMPLE_RATE,
+        "contig_pad": CONTIG_PAD,
+    }
+    return BSIndex(genome=genome, blocks=blocks, meta=meta)
+
+
+def save_index(idx: BSIndex, prefix: str) -> None:
+    """Serialize as <prefix>.npz + <prefix>.json manifest (SURVEY.md C6)."""
+    arrays = {
+        "genome_codes": idx.genome.codes,
+        "genome_offsets": idx.genome.offsets,
+        "genome_lengths": idx.genome.lengths,
+    }
+    for bi, b in enumerate(idx.blocks):
+        arrays[f"b{bi}_cbase"] = b.cbase
+        arrays[f"b{bi}_cp_rows"] = b.cp_rows
+        arrays[f"b{bi}_mark_rows"] = b.mark_rows
+        arrays[f"b{bi}_sa_samples"] = b.sa_samples
+    np.savez(prefix + ".npz", **arrays)
+    manifest = dict(idx.meta)
+    manifest["names"] = idx.genome.names
+    manifest["block_n"] = [b.n for b in idx.blocks]
+    with open(prefix + ".json", "w") as f:
+        json.dump(manifest, f, indent=1)
+
+
+def load_index(prefix: str) -> BSIndex:
+    with open(prefix + ".json") as f:
+        manifest = json.load(f)
+    if manifest["version"] != INDEX_VERSION:
+        raise ValueError(f"index version {manifest['version']} != {INDEX_VERSION}")
+    z = np.load(prefix + ".npz")
+    genome = Genome(
+        names=manifest["names"],
+        offsets=z["genome_offsets"],
+        lengths=z["genome_lengths"],
+        codes=z["genome_codes"],
+    )
+    blocks = []
+    for bi in range(2):
+        blocks.append(PackedBlock(
+            n=manifest["block_n"][bi],
+            cbase=z[f"b{bi}_cbase"],
+            cp_rows=z[f"b{bi}_cp_rows"],
+            mark_rows=z[f"b{bi}_mark_rows"],
+            sa_samples=z[f"b{bi}_sa_samples"],
+        ))
+    meta = {k: manifest[k] for k in
+            ("version", "genome_sha256", "cp_block", "sa_sample_rate", "contig_pad")}
+    return BSIndex(genome=genome, blocks=blocks, meta=meta)
