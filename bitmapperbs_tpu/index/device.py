@@ -1,0 +1,81 @@
+"""Device-resident (HBM) index arrays (SURVEY.md L2 TPU restatement).
+
+The two PackedBlocks are padded to a common shape and stacked on a leading
+block axis so one gather, indexed by `block * rows_max + row`, serves lanes
+working in either block (occ-table lookup = "vectorized gather over
+HBM-resident bit-packed BWT blocks", BASELINE).  The original genome is held
+as bit-packed planes in both orientations (fwd and rc) so block-1
+verification gathers contiguous forward words instead of bit-reversing.
+
+All positions/counters are uint32 (SURVEY.md hard-part 6); gather row
+indices are int32 (row counts are < 2^31 even for GRCh38).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bitmapperbs_tpu import constants as K
+from bitmapperbs_tpu.index.build import BSIndex
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceIndex:
+    # FM blocks, stacked [2, ...]
+    cp_rows: jax.Array      # uint32[2 * rows_max, CP_ROW_U32] (flattened)
+    cbase: jax.Array        # uint32[2, CONV_ALPHA]
+    mark_rows: jax.Array    # uint32[2 * rows_max, MARK_ROW_U32]
+    sa_samples: jax.Array   # uint32[2, samples_max]
+    n: jax.Array            # uint32[2] text lengths (incl sentinel)
+    # original genome, bit-packed planes, fwd + rc orientations
+    g_planes: jax.Array     # uint32[2, 3, words]: [orient][bit0,bit1,nmask]
+    rows_max: int = dataclasses.field(metadata=dict(static=True))
+    genome_len: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def nbytes(self) -> int:
+        return sum(int(a.size) * 4 for a in
+                   (self.cp_rows, self.mark_rows, self.sa_samples,
+                    self.g_planes))
+
+
+def upload_index(idx: BSIndex, device=None) -> DeviceIndex:
+    """Host BSIndex -> device arrays."""
+    rows_max = max(b.cp_rows.shape[0] for b in idx.blocks)
+    smax = max(len(b.sa_samples) for b in idx.blocks)
+
+    def padded(arrs, rows, width):
+        out = np.zeros((2, rows, width), dtype=np.uint32)
+        for i, a in enumerate(arrs):
+            out[i, :a.shape[0]] = a
+        return out
+
+    cp = padded([b.cp_rows for b in idx.blocks], rows_max, K.CP_ROW_U32)
+    mk = padded([b.mark_rows for b in idx.blocks], rows_max, K.MARK_ROW_U32)
+    sa = np.zeros((2, max(smax, 1)), dtype=np.uint32)
+    for i, b in enumerate(idx.blocks):
+        sa[i, :len(b.sa_samples)] = b.sa_samples
+
+    planes = idx.genome.packed_planes()
+    words = len(planes["g0"])
+    gp = np.zeros((2, 3, words), dtype=np.uint32)
+    for oi, pref in enumerate(("g", "r")):
+        for pi, suf in enumerate(("0", "1", "n")):
+            gp[oi, pi] = planes[pref + suf]
+
+    put = lambda x: jax.device_put(jnp.asarray(x), device)
+    return DeviceIndex(
+        cp_rows=put(cp.reshape(2 * rows_max, K.CP_ROW_U32)),
+        cbase=put(np.stack([b.cbase for b in idx.blocks])),
+        mark_rows=put(mk.reshape(2 * rows_max, K.MARK_ROW_U32)),
+        sa_samples=put(sa),
+        n=put(np.array([b.n for b in idx.blocks], dtype=np.uint32)),
+        g_planes=put(gp),
+        rows_max=rows_max,
+        genome_len=idx.genome.length,
+    )

@@ -1,0 +1,150 @@
+"""Device FM-index lane ops: occ/rank, backward search, bounded-LF locate.
+
+TPU restatement of SURVEY.md C7-C10: every op is elementwise over an
+arbitrary lane shape; each lane carries (block, position) and the occ query
+is one row gather from the stacked checkpoint table followed by
+population_count -- no data-dependent control flow, so everything jits and
+shards cleanly.  All positions are uint32; gather rows are int32.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from bitmapperbs_tpu import constants as K
+from bitmapperbs_tpu.index.device import DeviceIndex
+
+_A = K.CONV_ALPHA
+_W = K.CP_WORDS
+U32 = jnp.uint32
+FULL = jnp.uint32(0xFFFFFFFF)
+
+
+def _lower_mask(within):
+    """uint32 lanes -> [..., _W] per-word masks of bits < within."""
+    nbits = jnp.clip(
+        within.astype(jnp.int32)[..., None] - jnp.arange(_W, dtype=jnp.int32) * 32,
+        0, 32)
+    safe = (U32(1) << jnp.minimum(nbits, 31).astype(U32)) - U32(1)
+    return jnp.where(nbits >= 32, FULL, safe)
+
+
+def _popcount_sum(words):
+    return jax.lax.population_count(words).sum(axis=-1, dtype=U32)
+
+
+def occ(dix: DeviceIndex, block, c, i):
+    """# occurrences of symbol c in BWT_block[0:i). Lanes of (block, c, i)."""
+    row = (i // K.CP_BLOCK).astype(jnp.int32) + block.astype(jnp.int32) * dix.rows_max
+    within = i % K.CP_BLOCK
+    rows = dix.cp_rows[row]                       # [..., CP_ROW_U32]
+    base = jnp.take_along_axis(rows[..., :_A], c.astype(jnp.int32)[..., None],
+                               axis=-1)[..., 0]
+    p0 = rows[..., _A:_A + _W]
+    p1 = rows[..., _A + _W:]
+    b0 = (U32(0) - (c.astype(U32) & 1))[..., None]
+    b1 = (U32(0) - ((c.astype(U32) >> 1) & 1))[..., None]
+    ind = ~(p0 ^ b0) & ~(p1 ^ b1)
+    return base + _popcount_sum(ind & _lower_mask(within))
+
+
+def _cbase(dix: DeviceIndex, block, c):
+    """cbase[block, c] per lane via flat scalar gather."""
+    flat = dix.cbase.reshape(-1)
+    return flat[block.astype(jnp.int32) * _A + c.astype(jnp.int32)]
+
+
+def extend_backward(dix: DeviceIndex, block, sp, ep, c):
+    """One backward-search step per lane; empty intervals stay empty."""
+    cb = _cbase(dix, block, c)
+    return cb + occ(dix, block, c, sp), cb + occ(dix, block, c, ep)
+
+
+def bwt_symbol(dix: DeviceIndex, block, i):
+    row = (i // K.CP_BLOCK).astype(jnp.int32) + block.astype(jnp.int32) * dix.rows_max
+    within = (i % K.CP_BLOCK).astype(jnp.int32)
+    rows = dix.cp_rows[row]
+    w = within // 32
+    b = (within % 32).astype(U32)
+    p0 = jnp.take_along_axis(rows[..., _A:_A + _W], w[..., None], axis=-1)[..., 0]
+    p1 = jnp.take_along_axis(rows[..., _A + _W:], w[..., None], axis=-1)[..., 0]
+    return ((p0 >> b) & 1) | (((p1 >> b) & 1) << 1)
+
+
+def _mark_rank(dix: DeviceIndex, block, i):
+    row = (i // K.CP_BLOCK).astype(jnp.int32) + block.astype(jnp.int32) * dix.rows_max
+    within = i % K.CP_BLOCK
+    rows = dix.mark_rows[row]
+    base = rows[..., 0]
+    words = rows[..., 1:]
+    rank = base + _popcount_sum(words & _lower_mask(within))
+    w = (within // 32).astype(jnp.int32)
+    bit = jnp.take_along_axis(words, w[..., None], axis=-1)[..., 0]
+    marked = (bit >> (within % 32).astype(U32)) & 1
+    return marked.astype(jnp.bool_), rank
+
+
+def locate(dix: DeviceIndex, block, i, valid):
+    """SA_block[i] per lane via <= SA_SAMPLE_RATE lockstep LF steps
+    (SURVEY.md hard-part 1: the walk is a fixed unroll with done-masking).
+
+    Invalid lanes walk garbage safely (positions are clamped into range).
+    Returns uint32 text positions (garbage where ~valid).
+    """
+    nmax = dix.n[block.astype(jnp.int32)]
+    i = jnp.where(valid, i, 0).astype(U32)
+
+    smax = dix.sa_samples.shape[1]
+    sa_flat = dix.sa_samples.reshape(-1)
+
+    def step(_, st):
+        cur, steps, out, done = st
+        marked, rank = _mark_rank(dix, block, cur)
+        sample = sa_flat[jnp.minimum(
+            block.astype(jnp.int32) * smax + rank.astype(jnp.int32),
+            2 * smax - 1)]
+        hit = marked & ~done
+        out = jnp.where(hit, sample + steps, out)
+        done = done | marked
+        c = bwt_symbol(dix, block, cur)
+        nxt = _cbase(dix, block, c) + occ(dix, block, c, cur)
+        nxt = jnp.minimum(nxt, nmax - 1)  # safety clamp for garbage lanes
+        cur = jnp.where(done, cur, nxt)
+        steps = jnp.where(done, steps, steps + 1)
+        return cur, steps, out, done
+
+    zeros = jnp.zeros_like(i)
+    _, _, out, _ = jax.lax.fori_loop(
+        0, K.SA_SAMPLE_RATE, step,
+        (i, zeros, zeros, jnp.zeros(i.shape, dtype=jnp.bool_)))
+    return out
+
+
+def search_patterns(dix: DeviceIndex, block, patterns, starts, ends,
+                    max_len: int | None = None):
+    """Batched backward search of seed slices, lockstep over lanes.
+
+    patterns: uint8[..., m] converted codes ($AGT space) per lane.
+    starts/ends: int32 lanes -- seed slice [start, end) within the pattern.
+    block: int32 lanes.  max_len: static bound on slice length (defaults to m).
+    Returns (sp, ep) uint32 lanes.
+
+    All lanes run max_len steps; lanes whose slice is shorter idle on a
+    masked no-op.  Empty intervals propagate unchanged (occ(sp)==occ(ep)).
+    """
+    m = patterns.shape[-1]
+    lens = ends - starts
+    if max_len is None:
+        max_len = m
+    sp0 = jnp.zeros(starts.shape, U32)
+    ep0 = jnp.broadcast_to(dix.n[block.astype(jnp.int32)], starts.shape).astype(U32)
+
+    def step(t, st):
+        sp, ep = st
+        j = jnp.clip(ends - 1 - t, 0, m - 1)
+        active = (t < lens) & (ep > sp)  # freeze empty intervals (host parity)
+        c = jnp.take_along_axis(patterns, j[..., None], axis=-1)[..., 0]
+        nsp, nep = extend_backward(dix, block, sp, ep, c.astype(U32))
+        return (jnp.where(active, nsp, sp), jnp.where(active, nep, ep))
+
+    return jax.lax.fori_loop(0, max_len, step, (sp0, ep0))

@@ -2,14 +2,21 @@
 
 SURVEY.md section 4 item 4: multi-chip collectives logic is validated on a
 virtual CPU mesh (xla_force_host_platform_device_count), never on real pods.
+
+NOTE: in this image the axon TPU plugin overrides the JAX_PLATFORMS env var,
+so we must force CPU via jax.config.update (which wins) -- otherwise every
+test compiles for the real TPU chip and runs ~50x slower.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,78 @@
+"""Device (jnp, CPU backend) FM ops vs host packed readers (SURVEY.md 4.2)."""
+import numpy as np
+import pytest
+
+from bitmapperbs_tpu import constants as K
+from bitmapperbs_tpu.index import packed
+from bitmapperbs_tpu.index.build import build_index
+from bitmapperbs_tpu.index.device import upload_index
+from bitmapperbs_tpu.utils import dna
+from bitmapperbs_tpu.utils.simulate import random_genome_fasta
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(3)
+    idx = build_index(random_genome_fasta(rng, contigs=(3000, 1000)))
+    return idx, upload_index(idx)
+
+
+def test_occ_parity(setup, rng):
+    import jax.numpy as jnp
+    from bitmapperbs_tpu.ops import fm
+    idx, dix = setup
+    n = 400
+    block = rng.integers(0, 2, n).astype(np.int32)
+    c = rng.integers(0, K.CONV_ALPHA, n).astype(np.uint32)
+    i = np.array([rng.integers(0, idx.blocks[b].n + 1) for b in block],
+                 dtype=np.uint32)
+    got = np.asarray(fm.occ(dix, jnp.asarray(block), jnp.asarray(c),
+                            jnp.asarray(i)))
+    want = np.array([packed.occ(idx.blocks[b], cc, ii)
+                     for b, cc, ii in zip(block, c, i)])
+    np.testing.assert_array_equal(got.astype(np.int64), want.astype(np.int64))
+
+
+def test_locate_parity(setup, rng):
+    import jax.numpy as jnp
+    from bitmapperbs_tpu.ops import fm
+    idx, dix = setup
+    n = 500
+    block = rng.integers(0, 2, n).astype(np.int32)
+    i = np.array([rng.integers(0, idx.blocks[b].n) for b in block],
+                 dtype=np.uint32)
+    got = np.asarray(fm.locate(dix, jnp.asarray(block), jnp.asarray(i),
+                               jnp.ones(n, dtype=bool)))
+    want = np.concatenate([
+        packed.locate(idx.blocks[0], i[block == 0]),
+        packed.locate(idx.blocks[1], i[block == 1])])
+    order = np.concatenate([np.flatnonzero(block == 0),
+                            np.flatnonzero(block == 1)])
+    np.testing.assert_array_equal(got[order].astype(np.int64),
+                                  want.astype(np.int64))
+
+
+def test_search_parity(setup, rng):
+    import jax.numpy as jnp
+    from bitmapperbs_tpu.ops import fm
+    idx, dix = setup
+    m, nseeds = 64, 40
+    conv = dna.ct_convert(idx.genome.codes)
+    pats, starts, ends, blocks = [], [], [], []
+    for _ in range(nseeds):
+        pos = int(rng.integers(300, 2500))
+        pats.append(conv[pos:pos + m])
+        s = int(rng.integers(0, m - 16))
+        starts.append(s)
+        ends.append(s + int(rng.integers(8, 17)))
+        blocks.append(int(rng.integers(0, 2)))
+    pats = np.stack(pats)
+    sp, ep = fm.search_patterns(
+        dix, jnp.asarray(blocks, jnp.int32), jnp.asarray(pats),
+        jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32),
+        max_len=17)
+    sp, ep = np.asarray(sp), np.asarray(ep)
+    for k in range(nseeds):
+        wsp, wep = packed.count(idx.blocks[blocks[k]],
+                                pats[k, starts[k]:ends[k]])
+        assert (int(sp[k]), int(ep[k])) == (wsp, wep), k
