@@ -63,10 +63,12 @@ def upload_index(idx: BSIndex, device=None) -> DeviceIndex:
 
     planes = idx.genome.packed_planes()
     words = len(planes["g0"])
-    gp = np.zeros((2, 3, words), dtype=np.uint32)
+    # leading zero word: ops/verify.window_planes biases starts by +32 so
+    # wrapped-negative window starts (anchor - e near position 0) resolve
+    gp = np.zeros((2, 3, words + 1), dtype=np.uint32)
     for oi, pref in enumerate(("g", "r")):
         for pi, suf in enumerate(("0", "1", "n")):
-            gp[oi, pi] = planes[pref + suf]
+            gp[oi, pi, 1:] = planes[pref + suf]
 
     put = lambda x: jax.device_put(jnp.asarray(x), device)
     return DeviceIndex(
