@@ -1,0 +1,208 @@
+"""The jit-compiled single-end device mapping pipeline (SURVEY.md L4 TPU
+restatement, call stack 3.2): convert -> seed -> locate -> dedup/cap ->
+Hamming filter -> Myers verify -> order-free best/second selection.
+
+The pipeline is one jitted function over fixed-shape batches; every stage is
+lane-parallel with masking (no data-dependent shapes).  It must produce the
+same (best, second) tuples as oracle/pipeline.map_read_se -- the shared
+host-side finalize then guarantees identical SAM.
+
+Fixed capacities (all from AlignerConfig, mirrored exactly in the oracle):
+  S  = num_seeds            pigeonhole seeds per (pattern, block) frame
+  O  = max_seed_occ         SA rows per seed
+  LB = locate_budget        located rows per frame  (truncation: seed order)
+  Kc = max_candidates       verified anchors per frame (truncation: sorted)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from bitmapperbs_tpu import constants as K
+from bitmapperbs_tpu.config import AlignerConfig
+from bitmapperbs_tpu.index.device import DeviceIndex
+from bitmapperbs_tpu.ops import fm, verify
+
+U32 = jnp.uint32
+INVALID = jnp.uint32(0xFFFFFFFF)
+INF = jnp.int32(1 << 20)
+
+
+def frames_for(cfg: AlignerConfig) -> list[tuple[int, int]]:
+    """Static (pattern, block) frame list; order fixes bp_code = block*2+pat."""
+    out = [(K.PAT_CT, K.BLOCK_FWD), (K.PAT_CT, K.BLOCK_RC)]
+    if cfg.non_directional:
+        out += [(K.PAT_GA, K.BLOCK_FWD), (K.PAT_GA, K.BLOCK_RC)]
+    return out
+
+
+def _revcomp_padded(reads, lengths):
+    """Reverse-complement the real prefix of each padded read (pad -> N)."""
+    B, m = reads.shape
+    comp = jnp.where(reads < 4, 3 - reads, reads)
+    idxs = jnp.clip(lengths[:, None] - 1 - jnp.arange(m, dtype=jnp.int32),
+                    0, m - 1)
+    rc = jnp.take_along_axis(comp, idxs, axis=1)
+    return jnp.where(jnp.arange(m)[None, :] < lengths[:, None], rc,
+                     jnp.uint8(K.N_CODE))
+
+
+def _seed_bounds(lengths, num_seeds: int):
+    """Pigeonhole slice [start, end) per seed, per read (int32)."""
+    s = jnp.arange(num_seeds, dtype=jnp.int32)
+    starts = (s[None, :] * lengths[:, None]) // num_seeds
+    ends = ((s[None, :] + 1) * lengths[:, None]) // num_seeds
+    return starts, ends
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def map_batch_device(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths):
+    """reads: uint8[B, m_pad] (pad = N code); lengths: int32[B].
+
+    Returns per-read arrays:
+      best_score   int32[B]   (INF when unmapped)
+      best_bp      int32[B]   block*2 + pat of the winning frame
+      best_anchor  uint32[B]  frame-local anchor
+      second_score int32[B]   (INF when no distinct-locus second)
+      overflow     bool[B]    any capacity truncation occurred
+    """
+    B, m = reads.shape
+    e = cfg.max_errors
+    S = cfg.num_seeds
+    O = cfg.max_seed_occ
+    LB = cfg.locate_budget
+    Kc = cfg.max_candidates
+    frames = frames_for(cfg)
+    F = len(frames)
+    Wd = m // 32
+    L = dix.genome_len
+
+    conv = jnp.asarray(K.CONV_MAP, dtype=jnp.uint8)
+    rc = _revcomp_padded(reads, lengths)
+    frame_reads = jnp.stack(
+        [reads if p == K.PAT_CT else rc for p, _ in frames], axis=1)  # B,F,m
+    patterns = conv[frame_reads]                                      # B,F,m
+    blocks = jnp.asarray([b for _, b in frames], jnp.int32)           # F
+    bp_codes = jnp.asarray([b * 2 + p for p, b in frames], jnp.int32)
+
+    # ---- seeding: backward-search every (read, frame, seed) ---------------
+    starts, ends = _seed_bounds(lengths, S)              # B,S
+    starts_l = jnp.broadcast_to(starts[:, None, :], (B, F, S))
+    ends_l = jnp.broadcast_to(ends[:, None, :], (B, F, S))
+    block_l = jnp.broadcast_to(blocks[None, :, None], (B, F, S))
+    pat_l = jnp.broadcast_to(patterns[:, :, None, :], (B, F, S, m))
+    max_seed_len = -(-m // S)
+    sp, ep = fm.search_patterns(dix, block_l, pat_l, starts_l, ends_l,
+                                max_len=max_seed_len)
+
+    # ---- expansion into the locate grid (seed-order truncation at LB) -----
+    cnt_u = ep - sp
+    seed_ok = (cnt_u > 0) & (cnt_u <= O)
+    cnt = jnp.where(seed_ok, cnt_u, 0).astype(jnp.int32)         # B,F,S
+    offs = jnp.cumsum(cnt, axis=-1) - cnt                        # exclusive
+    total = jnp.cumsum(cnt, axis=-1)[..., -1]                    # B,F
+    slot = offs[..., None] + jnp.arange(O, dtype=jnp.int32)      # B,F,S,O
+    entry_ok = (jnp.arange(O, dtype=jnp.int32) < cnt[..., None]) & (slot < LB)
+    sa_rows = sp[..., None] + jnp.arange(O, dtype=U32)           # B,F,S,O
+
+    row_id = (jnp.arange(B, dtype=jnp.int32)[:, None] * F
+              + jnp.arange(F, dtype=jnp.int32)[None, :])         # B,F
+    flat_idx = jnp.where(entry_ok,
+                         row_id[..., None, None] * LB + slot,
+                         B * F * LB)                             # drop slot
+    sa_grid = jnp.zeros(B * F * LB + 1, U32).at[
+        flat_idx.reshape(-1)].set(sa_rows.reshape(-1), mode="drop")
+    st_grid = jnp.zeros(B * F * LB + 1, jnp.int32).at[
+        flat_idx.reshape(-1)].set(
+        jnp.broadcast_to(starts_l[..., None], (B, F, S, O)).reshape(-1),
+        mode="drop")
+    ok_grid = jnp.zeros(B * F * LB + 1, jnp.bool_).at[
+        flat_idx.reshape(-1)].set(entry_ok.reshape(-1), mode="drop")
+    sa_grid = sa_grid[:-1].reshape(B, F, LB)
+    st_grid = st_grid[:-1].reshape(B, F, LB)
+    ok_grid = ok_grid[:-1].reshape(B, F, LB)
+    overflow = total > LB                                        # B,F
+
+    # ---- locate + anchor projection ---------------------------------------
+    block_lb = jnp.broadcast_to(blocks[None, :, None], (B, F, LB))
+    tp = fm.locate(dix, block_lb, sa_grid, ok_grid)              # B,F,LB
+    anchor = tp - st_grid.astype(U32)
+    n_lane = dix.n[block_lb]
+    a_ok = ok_grid & (tp >= st_grid.astype(U32)) & (
+        anchor <= n_lane - 1 - lengths[:, None, None].astype(U32))
+    anchor = jnp.where(a_ok, anchor, INVALID)
+
+    # ---- dedup (sort + unique) and cap at Kc ------------------------------
+    srt = jnp.sort(anchor, axis=-1)                              # B,F,LB
+    uniq = (srt != INVALID) & jnp.concatenate(
+        [jnp.ones((B, F, 1), jnp.bool_), srt[..., 1:] != srt[..., :-1]],
+        axis=-1)
+    rank = jnp.cumsum(uniq, axis=-1) - 1
+    nuniq = jnp.cumsum(uniq, axis=-1)[..., -1]
+    overflow = overflow | (nuniq > Kc)
+    dst = jnp.where(uniq & (rank < Kc),
+                    row_id[..., None] * Kc + rank, B * F * Kc)
+    cand = jnp.full(B * F * Kc + 1, INVALID, U32).at[
+        dst.reshape(-1)].set(srt.reshape(-1), mode="drop")
+    cand = cand[:-1].reshape(B, F, Kc)                           # anchors
+    c_ok = cand != INVALID
+
+    # ---- verification: Hamming filter then (optionally) Myers -------------
+    read_planes = verify.pack_codes(frame_reads)                 # 3 x B,F,Wd
+    lenmask = verify.length_mask(lengths, m)[:, None, :]         # B,1,Wd
+    block_kc = jnp.broadcast_to(blocks[None, :, None], (B, F, Kc))
+    ref_planes = verify.window_planes(
+        dix.g_planes, block_kc, jnp.where(c_ok, cand, 0), Wd, L)
+    rp = tuple(p[:, :, None, :] for p in read_planes)
+    ham = verify.hamming(ref_planes, rp, lenmask[:, :, None, :])  # B,F,Kc
+
+    if cfg.indels and e > 0:
+        ncols = m + 2 * e
+        Ww = -(-ncols // 32)
+        win_planes = verify.window_planes(
+            dix.g_planes, block_kc,
+            jnp.where(c_ok, cand, 0) - U32(e), Ww, L)
+        peq, pad = verify.build_peq(frame_reads, lengths[:, None], m)
+        peq_b = jnp.broadcast_to(peq[:, :, None], (B, F, Kc, 4, Wd))
+        pad_b = jnp.broadcast_to(pad[:, :, None], (B, F, Kc, Wd))
+        med = verify.myers(win_planes, peq_b, pad_b, m, ncols)
+        score = jnp.where(ham <= e, ham, med)
+    else:
+        score = ham
+    score = jnp.where(c_ok & (score <= e), score, INF)           # B,F,Kc
+
+    # ---- order-free selection (frozen key: score, fwd_anchor, block, pat) -
+    fwd = jnp.where(
+        jnp.asarray([b for _, b in frames], jnp.int32)[None, :, None]
+        == K.BLOCK_FWD,
+        cand,
+        U32(L) - cand - lengths[:, None, None].astype(U32))
+    fwd = jnp.where(score < INF, fwd, INVALID)
+    sflat = score.reshape(B, F * Kc)
+    aflat = fwd.reshape(B, F * Kc)
+    frame_a = jnp.where(score < INF, cand, INVALID).reshape(B, F * Kc)
+    bpflat = jnp.broadcast_to(bp_codes[None, :, None],
+                              (B, F, Kc)).reshape(B, F * Kc)
+
+    s_best = sflat.min(axis=-1)                                   # B
+    m1 = sflat == s_best[:, None]
+    a_best = jnp.where(m1, aflat, INVALID).min(axis=-1)
+    m2 = m1 & (aflat == a_best[:, None])
+    bp_best = jnp.where(m2, bpflat, 127).min(axis=-1)
+    m3 = m2 & (bpflat == bp_best[:, None])
+    fa_best = jnp.where(m3, frame_a, INVALID).min(axis=-1)
+
+    diff = jnp.maximum(frame_a, fa_best[:, None]) - jnp.minimum(
+        frame_a, fa_best[:, None])
+    distinct = (bpflat != bp_best[:, None]) | (diff > U32(e))
+    s_second = jnp.where(distinct, sflat, INF).min(axis=-1)
+
+    return {
+        "best_score": s_best,
+        "best_bp": bp_best,
+        "best_anchor": fa_best,
+        "second_score": s_second,
+        "overflow": overflow.any(axis=-1),
+    }

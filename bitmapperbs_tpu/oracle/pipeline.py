@@ -66,8 +66,8 @@ def collect_candidates(idx: BSIndex, cfg: AlignerConfig, pat: np.ndarray,
     anchors beyond max_candidates are dropped after sorting (frozen).
     """
     block = idx.blocks[block_id]
-    anchors: set[int] = set()
     overflow = False
+    entries: list[tuple[int, int]] = []   # (sa_row, seed_start), seed order
     for start, end in seed_slices(m, cfg.num_seeds):
         sp, ep = packed.count(block, pat[start:end])
         cnt = ep - sp
@@ -76,8 +76,14 @@ def collect_candidates(idx: BSIndex, cfg: AlignerConfig, pat: np.ndarray,
         if cnt > cfg.max_seed_occ:
             overflow = True
             continue
-        tps = packed.locate(block, np.arange(sp, ep))
-        for tp in tps.astype(np.int64):
+        entries.extend((sp + k, start) for k in range(cnt))
+    if len(entries) > cfg.locate_budget:  # frozen: truncate in seed order
+        entries = entries[:cfg.locate_budget]
+        overflow = True
+    anchors: set[int] = set()
+    if entries:
+        tps = packed.locate(block, np.array([r for r, _ in entries]))
+        for tp, (_, start) in zip(tps.astype(np.int64), entries):
             a = int(tp) - start
             if 0 <= a <= block.n - 1 - m:
                 anchors.add(a)

@@ -1,0 +1,84 @@
+"""Golden differential test: device pipeline SAM == oracle SAM, byte-for-byte
+(SURVEY.md section 4 item 3; BASELINE config 1/2 exit criterion)."""
+import numpy as np
+import pytest
+
+from bitmapperbs_tpu.config import AlignerConfig
+from bitmapperbs_tpu.index.build import build_index
+from bitmapperbs_tpu.index.device import upload_index
+from bitmapperbs_tpu.models.host import map_batch_tpu
+from bitmapperbs_tpu.oracle.pipeline import map_batch_se
+from bitmapperbs_tpu.utils.simulate import random_genome_fasta, simulate_reads
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(21)
+    idx = build_index(random_genome_fasta(rng, contigs=(5000, 2000)))
+    return idx, upload_index(idx)
+
+
+def _compare(idx, dix, cfg, sims):
+    reads = [s.codes for s in sims]
+    quals = [s.qual for s in sims]
+    oracle = [r.line() for r in map_batch_se(idx, cfg, reads, quals)]
+    device = [r.line() for r in map_batch_tpu(idx, dix, cfg, reads, quals)]
+    mism = [i for i, (a, b) in enumerate(zip(oracle, device)) if a != b]
+    assert not mism, (
+        f"{len(mism)} mismatching records, first: "
+        f"\n oracle: {oracle[mism[0]]}\n device: {device[mism[0]]}")
+    return oracle
+
+
+def test_mismatch_only_parity(setup):
+    idx, dix = setup
+    sims = simulate_reads(idx.genome, 80, read_len=96, seed=31, sub_rate=0.01)
+    cfg = AlignerConfig(max_errors=3, indels=False, read_len_bucket=96,
+                        batch_size=80)
+    recs = _compare(idx, dix, cfg, sims)
+    assert sum("\t16\t" in r or "\t0\t" in r for r in recs) > 70
+
+
+def test_indel_mode_parity(setup):
+    idx, dix = setup
+    sims = simulate_reads(idx.genome, 60, read_len=90, seed=32,
+                          sub_rate=0.01, indel_rate=0.01)
+    cfg = AlignerConfig(max_errors=4, indels=True, read_len_bucket=96,
+                        batch_size=60)
+    _compare(idx, dix, cfg, sims)
+
+
+def test_non_directional_parity(setup):
+    idx, dix = setup
+    sims = simulate_reads(idx.genome, 60, read_len=80, seed=33, sub_rate=0.005,
+                          protocols=("OT", "OB", "CTOT", "CTOB"))
+    cfg = AlignerConfig(max_errors=3, indels=True, non_directional=True,
+                        read_len_bucket=96, batch_size=60)
+    _compare(idx, dix, cfg, sims)
+
+
+def test_variable_length_bucket_parity(setup):
+    idx, dix = setup
+    rng = np.random.default_rng(5)
+    sims = simulate_reads(idx.genome, 50, read_len=90, seed=34, sub_rate=0.01)
+    for s in sims:  # truncate to varied lengths within the bucket
+        s.codes = s.codes[:int(rng.integers(50, 91))]
+    cfg = AlignerConfig(max_errors=3, indels=True, read_len_bucket=96,
+                        batch_size=50)
+    reads = [s.codes for s in sims]
+    oracle = [r.line() for r in map_batch_se(idx, cfg, reads)]
+    device = [r.line() for r in map_batch_tpu(idx, dix, cfg, reads)]
+    assert oracle == device
+
+
+def test_repeats_and_ambiguity_parity():
+    rng = np.random.default_rng(9)
+    unit = "".join(rng.choice(list("ACGT"), size=400))
+    fasta = f">rep\n{unit}{unit}\n>uniq\n" + "".join(
+        rng.choice(list("ACGT"), size=1500)) + "\n"
+    idx = build_index(fasta)
+    dix = upload_index(idx)
+    sims = simulate_reads(idx.genome, 60, read_len=64, seed=35, sub_rate=0.01)
+    cfg = AlignerConfig(max_errors=2, indels=True, read_len_bucket=64,
+                        batch_size=60)
+    _compare(idx, dix, cfg, sims)
