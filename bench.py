@@ -1,0 +1,72 @@
+"""Driver benchmark: single-chip mapping throughput (reads/s/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+BASELINE.json's `published` is empty (reference tree unavailable at survey
+time), so vs_baseline is measured against this repo's own NumPy oracle
+throughput on the same workload -- the honest available baseline
+(BASELINE.md "baseline ladder", stage 1 vs stage 2).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bitmapperbs_tpu.config import AlignerConfig
+    from bitmapperbs_tpu.index.build import build_index
+    from bitmapperbs_tpu.index.device import upload_index
+    from bitmapperbs_tpu.models.aligner import map_batch_device
+    from bitmapperbs_tpu.models.host import prepare_batch
+    from bitmapperbs_tpu.oracle.pipeline import map_batch_se
+    from bitmapperbs_tpu.utils.simulate import (random_genome_fasta,
+                                                simulate_reads)
+
+    rng = np.random.default_rng(0)
+    genome_bp = 10_000_000
+    idx = build_index(random_genome_fasta(
+        rng, contigs=(genome_bp // 2, genome_bp // 2)))
+    dix = upload_index(idx)
+
+    bucket, batch = 96, 4096
+    cfg = AlignerConfig(max_errors=4, indels=True, read_len_bucket=bucket,
+                        batch_size=batch)
+    sims = simulate_reads(idx.genome, batch, read_len=90, seed=1,
+                          sub_rate=0.01, indel_rate=0.005)
+    reads = [s.codes for s in sims]
+    arr, lengths = prepare_batch(reads, bucket, batch)
+    arr_d, len_d = jnp.asarray(arr), jnp.asarray(lengths)
+
+    # compile + warm up
+    out = map_batch_device(dix, cfg, arr_d, len_d)
+    jax.block_until_ready(out)
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = map_batch_device(dix, cfg, arr_d, len_d)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    device_rps = batch / dt
+
+    # oracle throughput on a subsample (extrapolated)
+    n_o = 16
+    t0 = time.perf_counter()
+    map_batch_se(idx, cfg, reads[:n_o])
+    oracle_rps = n_o / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": "reads_per_second_per_chip",
+        "value": round(device_rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(device_rps / oracle_rps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

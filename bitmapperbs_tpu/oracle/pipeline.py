@@ -106,42 +106,67 @@ def score_candidate(frame_ref: np.ndarray, frame_read: np.ndarray,
     return align.edit_distance(window, frame_read)
 
 
-def map_read_se(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
-                read: np.ndarray):
-    """One read -> (best Hit | None, second Hit | None, stats dict)."""
+def se_frames(cfg: AlignerConfig, mate: int = 0) -> list[tuple[int, int]]:
+    """(pattern, block) frames for a read.  Mate 2 of a pair uses the
+    opposite conversion (SURVEY.md call stack 3.3: "mate2 uses opposite
+    conversion/orientation"); non-directional mode adds the other pair."""
+    first = K.PAT_CT if mate == 0 else K.PAT_GA
+    out = [(first, K.BLOCK_FWD), (first, K.BLOCK_RC)]
+    if cfg.non_directional:
+        other = K.PAT_GA if mate == 0 else K.PAT_CT
+        out += [(other, K.BLOCK_FWD), (other, K.BLOCK_RC)]
+    return out
+
+
+def se_hits(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
+            read: np.ndarray, frames: list[tuple[int, int]]):
+    """All scoring candidates of one read over the given frames."""
     m = len(read)
     e = cfg.max_errors
     L = idx.genome.length
-    pats = [(K.PAT_CT, read)]
-    if cfg.non_directional:
-        pats.append((K.PAT_GA, dna.revcomp(read)))
     hits: list[Hit] = []
     overflow = False
-    for p, frame_read in pats:
+    frame_reads = {K.PAT_CT: read, K.PAT_GA: dna.revcomp(read)}
+    for p, b in frames:
+        frame_read = frame_reads[p]
         pat = dna.ct_convert(frame_read)
-        for b in (K.BLOCK_FWD, K.BLOCK_RC):
-            frame_ref = idx.genome.codes if b == K.BLOCK_FWD else rc_ref
-            anchors, ovf = collect_candidates(idx, cfg, pat, b, m)
-            overflow |= ovf
-            for a in anchors:
-                score = score_candidate(frame_ref, frame_read, a, cfg)
-                if score > e:
-                    continue
-                fwd_anchor = a if b == K.BLOCK_FWD else L - a - m
-                hits.append(Hit(score, fwd_anchor, b, p, a))
+        frame_ref = idx.genome.codes if b == K.BLOCK_FWD else rc_ref
+        anchors, ovf = collect_candidates(idx, cfg, pat, b, m)
+        overflow |= ovf
+        for a in anchors:
+            score = score_candidate(frame_ref, frame_read, a, cfg)
+            if score > e:
+                continue
+            fwd_anchor = a if b == K.BLOCK_FWD else L - a - m
+            hits.append(Hit(score, fwd_anchor, b, p, a))
+    return hits, overflow
+
+
+def select_best(hits: list[Hit], e: int):
+    """Frozen order-free (best, second) selection shared by SE and PE."""
     if not hits:
-        return None, None, {"overflow": overflow}
+        return None, None
     best = min(hits, key=lambda h: h.key)
     distinct = [h for h in hits
                 if (h.block, h.pat) != (best.block, best.pat)
                 or abs(h.anchor - best.anchor) > e]
     second = min(distinct, key=lambda h: h.key) if distinct else None
+    return best, second
+
+
+def map_read_se(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
+                read: np.ndarray):
+    """One read -> (best Hit | None, second Hit | None, stats dict)."""
+    hits, overflow = se_hits(idx, rc_ref, cfg, read, se_frames(cfg))
+    best, second = select_best(hits, cfg.max_errors)
     return best, second, {"overflow": overflow}
 
 
 def finalize_hit(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
                  read: np.ndarray, qual: str, qname: str,
-                 best: Hit, second: Hit | None) -> SamRecord | None:
+                 best: Hit, second: Hit | None,
+                 flag_extra: int = 0,
+                 mapq_override: int | None = None) -> SamRecord | None:
     """Traceback + SAM field construction (C13/C14/C18 host side).
 
     Shared verbatim by the oracle and the device pipeline's host stage.
@@ -173,6 +198,8 @@ def finalize_hit(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
         return None
     mapq = 0 if ambiguous else K.mapq_from_gap(
         best.score, second.score if second else None)
+    if mapq_override is not None:
+        mapq = mapq_override
 
     rev = K.IS_REVERSE[(b, p)]
     fwd_read = dna.revcomp(read) if rev else read
@@ -183,7 +210,7 @@ def finalize_hit(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
     xr, xg = K.CONV_TAGS[(b, p)]
     return SamRecord(
         qname=qname,
-        flag=K.FLAG_REVERSE if rev else 0,
+        flag=(K.FLAG_REVERSE if rev else 0) | flag_extra,
         rname=idx.genome.names[ci],
         pos=coord + 1,
         mapq=mapq,

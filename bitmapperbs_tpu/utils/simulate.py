@@ -136,11 +136,18 @@ def simulate_pairs(genome: Genome, n: int, read_len: int = 100, *,
 
 
 def random_genome_fasta(rng, contigs=(2000, 1500), gc: float = 0.42) -> str:
-    """Random FASTA text for tests."""
+    """Random FASTA text for tests (vectorized; fine for 10^7+ bp)."""
     p = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])
-    lines = []
+    parts = []
     for i, ln in enumerate(contigs):
-        seq = dna.decode(rng.choice(4, size=ln, p=p).astype(np.uint8))
-        lines.append(f">chr{i + 1}")
-        lines.extend(seq[j:j + 70] for j in range(0, ln, 70))
-    return "\n".join(lines) + "\n"
+        codes = rng.choice(4, size=ln, p=p).astype(np.uint8)
+        chars = np.frombuffer(b"ACGT", dtype=np.uint8)[codes]
+        width = 70
+        nrows = -(-ln // width)
+        rows = np.full((nrows, width + 1), ord("\n"), dtype=np.uint8)
+        pad = nrows * width - ln
+        flat = np.concatenate([chars, np.full(pad, ord("\n"), np.uint8)])
+        rows[:, :width] = flat.reshape(nrows, width)
+        body = rows.tobytes().decode().rstrip("\n")
+        parts.append(f">chr{i + 1}\n{body}\n")
+    return "".join(parts)
