@@ -57,16 +57,13 @@ def _seed_bounds(lengths, num_seeds: int):
     return starts, ends
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def map_batch_device(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths):
-    """reads: uint8[B, m_pad] (pad = N code); lengths: int32[B].
+def candidate_grids(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths,
+                    frames: tuple[tuple[int, int], ...]):
+    """Stages convert..verify for the given static frame list.
 
-    Returns per-read arrays:
-      best_score   int32[B]   (INF when unmapped)
-      best_bp      int32[B]   block*2 + pat of the winning frame
-      best_anchor  uint32[B]  frame-local anchor
-      second_score int32[B]   (INF when no distinct-locus second)
-      overflow     bool[B]    any capacity truncation occurred
+    Returns a dict of (B, F, Kc) grids: score (int32, INF = invalid),
+    fwd (uint32 fwd-genome anchor), frame_a (uint32 frame anchor),
+    bp (int32 block*2+pat), plus overflow bool[B] and frame_reads.
     """
     B, m = reads.shape
     e = cfg.max_errors
@@ -74,7 +71,6 @@ def map_batch_device(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths):
     O = cfg.max_seed_occ
     LB = cfg.locate_budget
     Kc = cfg.max_candidates
-    frames = frames_for(cfg)
     F = len(frames)
     Wd = m // 32
     L = dix.genome_len
@@ -173,18 +169,29 @@ def map_batch_device(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths):
         score = ham
     score = jnp.where(c_ok & (score <= e), score, INF)           # B,F,Kc
 
-    # ---- order-free selection (frozen key: score, fwd_anchor, block, pat) -
+    # ---- fwd-coordinate anchors -------------------------------------------
     fwd = jnp.where(
         jnp.asarray([b for _, b in frames], jnp.int32)[None, :, None]
         == K.BLOCK_FWD,
         cand,
         U32(L) - cand - lengths[:, None, None].astype(U32))
     fwd = jnp.where(score < INF, fwd, INVALID)
-    sflat = score.reshape(B, F * Kc)
-    aflat = fwd.reshape(B, F * Kc)
-    frame_a = jnp.where(score < INF, cand, INVALID).reshape(B, F * Kc)
-    bpflat = jnp.broadcast_to(bp_codes[None, :, None],
-                              (B, F, Kc)).reshape(B, F * Kc)
+    frame_a = jnp.where(score < INF, cand, INVALID)
+    bp = jnp.broadcast_to(bp_codes[None, :, None], (B, F, Kc))
+
+    return {
+        "score": score, "fwd": fwd, "frame_a": frame_a, "bp": bp,
+        "overflow": overflow.any(axis=-1), "frame_reads": frame_reads,
+    }
+
+
+def select_se(grids, e: int):
+    """Order-free (score, fwd_anchor, block, pat) best/second reduction."""
+    B = grids["score"].shape[0]
+    sflat = grids["score"].reshape(B, -1)
+    aflat = grids["fwd"].reshape(B, -1)
+    frame_a = grids["frame_a"].reshape(B, -1)
+    bpflat = grids["bp"].reshape(B, -1)
 
     s_best = sflat.min(axis=-1)                                   # B
     m1 = sflat == s_best[:, None]
@@ -204,5 +211,20 @@ def map_batch_device(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths):
         "best_bp": bp_best,
         "best_anchor": fa_best,
         "second_score": s_second,
-        "overflow": overflow.any(axis=-1),
+        "overflow": grids["overflow"],
     }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def map_batch_device(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths):
+    """Single-end mapping: reads uint8[B, m_pad] (pad = N), lengths int32[B].
+
+    Returns per-read arrays:
+      best_score   int32[B]   (INF when unmapped)
+      best_bp      int32[B]   block*2 + pat of the winning frame
+      best_anchor  uint32[B]  frame-local anchor
+      second_score int32[B]   (INF when no distinct-locus second)
+      overflow     bool[B]    any capacity truncation occurred
+    """
+    grids = candidate_grids(dix, cfg, reads, lengths, tuple(frames_for(cfg)))
+    return select_se(grids, cfg.max_errors)

@@ -85,3 +85,135 @@ def map_batch_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
                 rec = unmapped_record(qname, read, qual)
             out_recs.append(rec)
     return out_recs
+
+
+# --------------------------------------------------------------------------
+# paired-end host assembly (decision order mirrors oracle/paired.map_pair)
+# --------------------------------------------------------------------------
+
+def map_batch_pe_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
+                     pairs, quals=None, qnames=None) -> list[SamRecord]:
+    """End-to-end device PE mapping -> SAM records (2 per pair)."""
+    from bitmapperbs_tpu.models.paired import map_batch_pe_device
+    from bitmapperbs_tpu.oracle import paired as opaired
+    from bitmapperbs_tpu import constants as K2
+
+    rc_ref = dna.revcomp(idx.genome.codes)
+    m_pad = cfg.read_len_bucket
+    e = cfg.max_errors
+    L = idx.genome.length
+    out_recs: list[SamRecord] = []
+    bs = cfg.batch_size
+    for lo in range(0, len(pairs), bs):
+        chunk = pairs[lo:lo + bs]
+        B = min(bs, len(chunk))
+        a1, l1 = prepare_batch([p[0] for p in chunk], m_pad, B)
+        a2, l2 = prepare_batch([p[1] for p in chunk], m_pad, B)
+        out = map_batch_pe_device(dix, cfg, jnp.asarray(a1), jnp.asarray(l1),
+                                  jnp.asarray(a2), jnp.asarray(l2))
+        host = {k: (np.asarray(v) if not isinstance(v, dict)
+                    else {kk: np.asarray(vv) for kk, vv in v.items()})
+                for k, v in out.items()}
+        for i in range(len(chunk)):
+            reads = (np.asarray(chunk[i][0], np.uint8),
+                     np.asarray(chunk[i][1], np.uint8))
+            q = quals[lo + i] if quals else ("", "")
+            qn = qnames[lo + i] if qnames else f"p{lo + i}"
+            out_recs.extend(_assemble_pair(idx, rc_ref, cfg, reads, q, qn,
+                                           host, i, L, e, opaired, K2))
+    return out_recs
+
+
+def _se_hit_from(host_se, i, m, L):
+    from bitmapperbs_tpu.models.aligner import INF as _INF
+    if host_se["best_score"][i] >= int(_INF):
+        return None, None
+    bp = int(host_se["best_bp"][i])
+    b, p = bp >> 1, bp & 1
+    a = int(host_se["best_anchor"][i])
+    fwd = a if b == K.BLOCK_FWD else L - a - m
+    best = Hit(int(host_se["best_score"][i]), fwd, b, p, a)
+    second = None
+    if host_se["second_score"][i] < int(_INF):
+        second = Hit(int(host_se["second_score"][i]), 0, 0, 0, 0)
+    return best, second
+
+
+def _assemble_pair(idx, rc_ref, cfg, reads, q, qn, host, i, L, e,
+                   opaired, K2):
+    from bitmapperbs_tpu.models.aligner import INF as _INF
+    m1, m2 = len(reads[0]), len(reads[1])
+
+    if host["pair_valid"][i]:
+        bp1, bp2 = int(host["pair_bp1"][i]), int(host["pair_bp2"][i])
+        a1, a2 = int(host["pair_a1"][i]), int(host["pair_a2"][i])
+        f1 = a1 if bp1 >> 1 == K.BLOCK_FWD else L - a1 - m1
+        f2 = a2 if bp2 >> 1 == K.BLOCK_FWD else L - a2 - m2
+        h1 = Hit(0, f1, bp1 >> 1, bp1 & 1, a1)
+        h2 = Hit(0, f2, bp2 >> 1, bp2 & 1, a2)
+        ssum = int(host["pair_sum"][i])
+        s2sum = int(host["pair_second_sum"][i])
+        if s2sum < int(2 * _INF) and s2sum == ssum:
+            mapq = 0
+        else:
+            mapq = K.mapq_from_gap(ssum,
+                                   s2sum if s2sum < int(2 * _INF) else None)
+        recs = opaired._emit_pair(idx, rc_ref, cfg, reads, q, qn,
+                                  h1, h2, mapq, mapq)
+        if recs:
+            return recs
+
+    if host["resc_valid"][i]:
+        anch_is_1 = bool(host["resc_anch_is_1"][i])
+        se_a = host["se1"] if anch_is_1 else host["se2"]
+        m_anch = m1 if anch_is_1 else m2
+        m_miss = m2 if anch_is_1 else m1
+        anchored, anch_second = _se_hit_from(se_a, i, m_anch, L)
+        if anchored is not None:
+            b = int(host["resc_block"][i])
+            p = int(host["resc_pat"][i])
+            fwd = int(host["resc_fwd"][i])
+            a = fwd if b == K.BLOCK_FWD else L - fwd - m_miss
+            rb = Hit(int(host["resc_score"][i]), fwd, b, p, a)
+            rsecond = int(host["resc_second"][i])
+            rsecond = rsecond if rsecond < int(_INF) else None
+            anch_amb = anch_second is not None and \
+                anch_second.score == anchored.score
+            anch_mapq = 0 if anch_amb else K.mapq_from_gap(
+                anchored.score, anch_second.score if anch_second else None)
+            resc_mapq = 0 if (rsecond is not None and rsecond == rb.score) \
+                else K.mapq_from_gap(rb.score, rsecond)
+            mapq = min(anch_mapq, resc_mapq)
+            ordered = (anchored, rb) if anch_is_1 else (rb, anchored)
+            recs = opaired._emit_pair(idx, rc_ref, cfg, reads, q, qn,
+                                      ordered[0], ordered[1], mapq, mapq)
+            if recs:
+                return recs
+
+    # discordant / singleton fallback
+    sel = [_se_hit_from(host["se1"], i, m1, L),
+           _se_hit_from(host["se2"], i, m2, L)]
+    recs = []
+    for mi in (0, 1):
+        best, second = sel[mi]
+        mate_best = sel[1 - mi][0]
+        extra = K.FLAG_PAIRED | (K.FLAG_READ1 if mi == 0 else K.FLAG_READ2)
+        if mate_best is None:
+            extra |= K.FLAG_MATE_UNMAPPED
+        elif K.IS_REVERSE[(mate_best.block, mate_best.pat)]:
+            extra |= K.FLAG_MATE_REVERSE
+        rec = None
+        if best is not None:
+            rec = finalize_hit(idx, rc_ref, cfg, reads[mi], q[mi], qn,
+                               best, second, flag_extra=extra)
+        if rec is None:
+            rec = unmapped_record(qn, reads[mi], q[mi], flag_extra=extra)
+        recs.append(rec)
+    r1r, r2r = recs
+    if not (r1r.flag & K.FLAG_UNMAPPED) and not (r2r.flag & K.FLAG_UNMAPPED):
+        if r1r.rname == r2r.rname:
+            r1r.rnext = r2r.rnext = "="
+        else:
+            r1r.rnext, r2r.rnext = r2r.rname, r1r.rname
+        r1r.pnext, r2r.pnext = r2r.pos, r1r.pos
+    return recs
