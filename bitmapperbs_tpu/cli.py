@@ -1,0 +1,239 @@
+"""Command-line driver (SURVEY.md C1, section 2.1 capability surface).
+
+Two subcommands mirroring the reference:
+    bitmapperbs_tpu index  ref.fa [--prefix P]
+    bitmapperbs_tpu search ref.fa --seq r.fq [options]   (SE)
+    bitmapperbs_tpu search ref.fa --seq1 1.fq --seq2 2.fq --pe [options] (PE)
+Legacy spellings `--index ref.fa` / `--search ref.fa` are accepted too.
+
+Streaming runs checkpoint a (record, byte-offset) cursor next to the output
+(SURVEY.md 5.3/5.4) so an interrupted multi-batch run resumes at the last
+completed batch with `--resume`.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _translate_legacy(argv):
+    if argv and argv[0] in ("--index", "--search"):
+        return [argv[0][2:]] + argv[1:]
+    return argv
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(prog="bitmapperbs_tpu",
+                                 description=__doc__.split("\n")[0])
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ix = sub.add_parser("index", help="build the bisulfite FM-index")
+    ix.add_argument("ref")
+    ix.add_argument("--prefix", default=None,
+                    help="index output prefix (default: <ref>.btidx)")
+
+    se = sub.add_parser("search", help="map reads")
+    se.add_argument("ref")
+    se.add_argument("--seq", help="single-end FASTQ(.gz)")
+    se.add_argument("--seq1", help="paired-end mate 1")
+    se.add_argument("--seq2", help="paired-end mate 2")
+    se.add_argument("--pe", action="store_true", help="paired-end mode")
+    se.add_argument("-o", "--output", default="-", help="SAM output (default stdout)")
+    se.add_argument("-e", "--max-errors", type=int, default=4)
+    se.add_argument("--no-indels", action="store_true",
+                    help="Hamming-only mode (mismatches, no gaps)")
+    se.add_argument("--min", dest="min_insert", type=int, default=0)
+    se.add_argument("--max", dest="max_insert", type=int, default=1000)
+    se.add_argument("--pbat", "--non-directional", dest="non_directional",
+                    action="store_true")
+    se.add_argument("--fast", action="store_true",
+                    help="sensitivity preset: fewer candidates")
+    se.add_argument("--sensitive", action="store_true",
+                    help="sensitivity preset: more candidates")
+    se.add_argument("-t", "--threads", type=int, default=1,
+                    help="host IO worker threads (device does the mapping)")
+    se.add_argument("--batch-size", type=int, default=4096)
+    se.add_argument("--read-bucket", type=int, default=160,
+                    help="padded read length (multiple of 32)")
+    se.add_argument("--phred64", action="store_true")
+    se.add_argument("--unmapped-out", default=None,
+                    help="write unmapped reads to this FASTQ")
+    se.add_argument("--suppress-ambiguous", action="store_true",
+                    help="do not report multi-mapping (MAPQ 0) reads")
+    se.add_argument("--stats-json", default=None)
+    se.add_argument("--resume", action="store_true",
+                    help="resume from the output's cursor checkpoint")
+    se.add_argument("--oracle", action="store_true",
+                    help="use the pure-CPU numpy oracle path (debug)")
+    se.add_argument("--rg", default=None, help="read group id")
+    return ap
+
+
+def default_prefix(ref):
+    return ref + ".btidx"
+
+
+def cmd_index(args) -> int:
+    from bitmapperbs_tpu.index.build import build_index, save_index
+
+    prefix = args.prefix or default_prefix(args.ref)
+    t0 = time.time()
+    idx = build_index(args.ref)
+    save_index(idx, prefix)
+    sys.stderr.write(
+        f"[bitmapperbs_tpu] indexed {sum(idx.genome.lengths)} bp "
+        f"({len(idx.genome.names)} contigs) in {time.time() - t0:.1f}s "
+        f"-> {prefix}.npz ({idx.nbytes() / 1e6:.0f} MB)\n")
+    return 0
+
+
+def make_config(args):
+    from bitmapperbs_tpu.config import AlignerConfig
+
+    cfg = AlignerConfig(
+        max_errors=args.max_errors,
+        indels=not args.no_indels,
+        non_directional=args.non_directional,
+        paired=bool(args.pe),
+        min_insert=args.min_insert,
+        max_insert=args.max_insert,
+        batch_size=args.batch_size,
+        read_len_bucket=args.read_bucket,
+        report_ambiguous=not args.suppress_ambiguous,
+        sam_rg=args.rg,
+    )
+    if args.fast:
+        cfg = cfg.replace(max_seed_occ=32, locate_budget=64, max_candidates=16)
+    if args.sensitive:
+        cfg = cfg.replace(max_seed_occ=128, locate_budget=256,
+                          max_candidates=64)
+    cfg.validate()
+    return cfg
+
+
+def cmd_search(args) -> int:
+    import numpy as np
+
+    from bitmapperbs_tpu import constants as K
+    from bitmapperbs_tpu.index.build import load_index
+    from bitmapperbs_tpu.io.fastq import FastqReader, read_pairs, write_fastq
+    from bitmapperbs_tpu.io.sam import SamWriter
+    from bitmapperbs_tpu.io.stats import MapStats
+    from bitmapperbs_tpu.utils import dna
+
+    if args.pe and not (args.seq1 and args.seq2):
+        sys.stderr.write("error: --pe requires --seq1 and --seq2\n")
+        return 2
+    if not args.pe and not args.seq:
+        sys.stderr.write("error: single-end search requires --seq\n")
+        return 2
+
+    prefix = default_prefix(args.ref)
+    if not os.path.exists(prefix + ".npz"):
+        sys.stderr.write(f"error: index not found at {prefix}.npz "
+                         f"(run: bitmapperbs_tpu index {args.ref})\n")
+        return 2
+    cfg = make_config(args)
+    idx = load_index(prefix)
+
+    use_oracle = args.oracle
+    if not use_oracle:
+        from bitmapperbs_tpu.index.device import upload_index
+        from bitmapperbs_tpu.models.host import (map_batch_pe_tpu,
+                                                 map_batch_tpu)
+        dix = upload_index(idx)
+
+    cursor_path = (args.output + ".cursor") if args.output != "-" else None
+    resume = {"record": 0, "offset": 0}
+    if args.resume and cursor_path and os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            resume = json.load(f)
+        sys.stderr.write(f"[bitmapperbs_tpu] resuming at record "
+                         f"{resume['record']}\n")
+
+    out_fh = sys.stdout if args.output == "-" else open(
+        args.output, "a" if resume["record"] else "w")
+    stats = MapStats()
+    unmapped = []
+    t0 = time.time()
+
+    cl = "bitmapperbs_tpu " + " ".join(sys.argv[1:])
+    writer = None
+    if not resume["record"]:
+        writer = SamWriter(out_fh, idx.genome.names, idx.genome.lengths,
+                           rg=args.rg, cl=cl)
+    else:
+        writer = SamWriter.__new__(SamWriter)
+        writer.fh = out_fh
+
+    def emit(records, reads, qnames, quals):
+        for rec, r, qn, q in zip(records, reads, qnames, quals):
+            writer.write(rec)
+            stats.add_record(rec)
+            if args.unmapped_out and rec.flag & K.FLAG_UNMAPPED:
+                unmapped.append((r, qn, q))
+
+    def save_cursor(record, offset):
+        if cursor_path:
+            with open(cursor_path, "w") as f:
+                json.dump({"record": record, "offset": offset}, f)
+
+    if not args.pe:
+        reader = FastqReader(args.seq, cfg.batch_size, args.phred64,
+                             resume_offset=resume["offset"],
+                             resume_record=resume["record"])
+        for batch in reader:
+            if use_oracle:
+                from bitmapperbs_tpu.oracle.pipeline import map_batch_se
+                recs = map_batch_se(idx, cfg, batch.codes, batch.quals,
+                                    batch.qnames)
+            else:
+                recs = map_batch_tpu(idx, dix, cfg, batch.codes, batch.quals,
+                                     batch.qnames)
+            emit(recs, batch.codes, batch.qnames, batch.quals)
+            out_fh.flush()
+            save_cursor(batch.start_record + len(batch), batch.end_offset)
+    else:
+        for b1, b2 in read_pairs(args.seq1, args.seq2, cfg.batch_size,
+                                 args.phred64):
+            prs = list(zip(b1.codes, b2.codes))
+            quals = list(zip(b1.quals, b2.quals))
+            if use_oracle:
+                from bitmapperbs_tpu.oracle.paired import map_batch_pe
+                recs = map_batch_pe(idx, cfg, prs, quals, b1.qnames)
+            else:
+                recs = map_batch_pe_tpu(idx, dix, cfg, prs, quals, b1.qnames)
+            flat_reads = [r for p in prs for r in p]
+            flat_qn = [qn for qn in b1.qnames for _ in (0, 1)]
+            flat_q = [q for p in quals for q in p]
+            emit(recs, flat_reads, flat_qn, flat_q)
+            out_fh.flush()
+
+    wall = time.time() - t0
+    stats.report(wall_s=wall)
+    if args.stats_json:
+        with open(args.stats_json, "w") as f:
+            f.write(stats.to_json() + "\n")
+    if args.unmapped_out and unmapped:
+        write_fastq(args.unmapped_out, [u[0] for u in unmapped],
+                    [u[1] for u in unmapped], [u[2] for u in unmapped])
+    if out_fh is not sys.stdout:
+        out_fh.close()
+    if cursor_path and os.path.exists(cursor_path):
+        os.unlink(cursor_path)  # completed: drop the resume cursor
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = _translate_legacy(sys.argv[1:] if argv is None else argv)
+    args = build_parser().parse_args(argv)
+    if args.cmd == "index":
+        return cmd_index(args)
+    return cmd_search(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

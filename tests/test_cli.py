@@ -1,0 +1,89 @@
+"""CLI surface tests (index + search round trip, cursor resume)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from bitmapperbs_tpu.cli import main
+from bitmapperbs_tpu.index.build import parse_fasta
+from bitmapperbs_tpu.io.fastq import write_fastq
+from bitmapperbs_tpu.utils.simulate import random_genome_fasta, simulate_reads
+
+
+@pytest.fixture
+def workdir(tmp_path, rng):
+    fa = random_genome_fasta(rng, contigs=(4000,))
+    ref = tmp_path / "ref.fa"
+    ref.write_text(fa)
+    g = parse_fasta(fa)
+    sims = simulate_reads(g, 30, read_len=80, seed=4, sub_rate=0.01)
+    write_fastq(tmp_path / "reads.fq", [s.codes for s in sims],
+                quals=[s.qual for s in sims])
+    return tmp_path, sims
+
+
+def test_index_and_search_se(workdir, capsys):
+    d, sims = workdir
+    assert main(["index", str(d / "ref.fa")]) == 0
+    out = d / "out.sam"
+    assert main(["search", str(d / "ref.fa"), "--seq", str(d / "reads.fq"),
+                 "-o", str(out), "--read-bucket", "96",
+                 "--batch-size", "30", "--oracle",
+                 "--stats-json", str(d / "s.json")]) == 0
+    lines = out.read_text().splitlines()
+    assert lines[0].startswith("@HD")
+    body = [l for l in lines if not l.startswith("@")]
+    assert len(body) == 30
+    stats = json.loads((d / "s.json").read_text())
+    assert stats["mapped"] >= 28
+    assert not os.path.exists(str(out) + ".cursor")
+
+
+def test_legacy_flag_spelling(workdir):
+    d, _ = workdir
+    assert main(["--index", str(d / "ref.fa")]) == 0
+
+
+def test_search_pe_validation(workdir, capsys):
+    d, _ = workdir
+    main(["index", str(d / "ref.fa")])
+    assert main(["search", str(d / "ref.fa"), "--pe"]) == 2
+    assert main(["search", str(d / "ref.fa")]) == 2
+
+
+def test_cursor_resume(workdir):
+    d, sims = workdir
+    main(["index", str(d / "ref.fa")])
+    out = d / "res.sam"
+    # first run with small batches, then simulate interruption by replaying
+    # from a saved cursor: do a full run, capture, then resume-from-middle
+    assert main(["search", str(d / "ref.fa"), "--seq", str(d / "reads.fq"),
+                 "-o", str(out), "--read-bucket", "96", "--batch-size", "10",
+                 "--oracle"]) == 0
+    full = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+
+    # interrupted run: write first 10 records + cursor, then resume
+    out2 = d / "res2.sam"
+    cursor = str(out2) + ".cursor"
+    assert main(["search", str(d / "ref.fa"), "--seq", str(d / "reads.fq"),
+                 "-o", str(out2), "--read-bucket", "96", "--batch-size", "10",
+                 "--oracle"]) == 0
+    # craft a cursor pointing after the first batch and truncate output
+    lines = out2.read_text().splitlines(keepends=True)
+    hdr = [l for l in lines if l.startswith("@")]
+    body = [l for l in lines if not l.startswith("@")]
+    with open(out2, "w") as f:
+        f.writelines(hdr + body[:10])
+    reads_path = d / "reads.fq"
+    with open(reads_path, "rb") as f:
+        off = 0
+        for _ in range(10 * 4):
+            off += len(f.readline())
+    json.dump({"record": 10, "offset": off}, open(cursor, "w"))
+    assert main(["search", str(d / "ref.fa"), "--seq", str(d / "reads.fq"),
+                 "-o", str(out2), "--read-bucket", "96", "--batch-size", "10",
+                 "--oracle", "--resume"]) == 0
+    resumed = [l for l in out2.read_text().splitlines()
+               if not l.startswith("@")]
+    assert resumed == full
