@@ -16,7 +16,7 @@ class AlignerConfig:
 
     # --- seeding policy (frozen spec: pigeonhole e+1 equal slices) ---------
     max_seed_occ: int = 64       # seed interval wider than this is skipped
-    locate_budget: int = 128     # SA entries located per read per (pat,block)
+    locate_budget: int = 64      # SA entries located per read per (pat,block)
     max_candidates: int = 32     # verified anchors per read per (pat,block)
 
     # --- library protocol --------------------------------------------------

@@ -70,20 +70,26 @@ CONV_TAGS = {(0, 0): ("CT", "CT"), (1, 0): ("CT", "GA"),
              (0, 1): ("GA", "CT"), (1, 1): ("GA", "GA")}
 
 # ---- FM-index physical layout ----------------------------------------------
-# Checkpointed bit-plane BWT: one row per CP_BLOCK BWT positions.
-#   row = [cnt_sentinel, cnt_A, cnt_G, cnt_T,          (uint32 cumulative occ
-#          p0w0..p0w3,                                   before this row)
-#          p1w0..p1w3]                                  (bit-planes, 32b words,
-# 12 uint32 per 128 positions.                           LSB = lowest position)
+# Checkpointed bit-plane BWT with SA-sample mark bits folded into the SAME
+# row, because TPU gather cost is per-ROW, not per-byte (measured: a 1M-lane
+# gather costs ~31 ms whether rows are 1 or 32 words wide) -- one gather per
+# LF step fetches everything the step needs.
+#   row = [cnt_sentinel, cnt_A, cnt_G, cnt_T,   0..3   cumulative occ
+#          p0w0..p0w3,                          4..7   BWT bit-plane 0
+#          p1w0..p1w3,                          8..11  BWT bit-plane 1
+#          mark_cnt,                            12     cumulative SA marks
+#          mw0..mw3]                            13..16 SA-sample mark bits
+# 17 uint32 per 128 positions (LSB = lowest position within each word).
 CP_BLOCK = 128
 CP_WORDS = CP_BLOCK // 32          # 4 words per plane per row
-CP_ROW_U32 = CONV_ALPHA + 2 * CP_WORDS  # 12
+CP_MARK_OFF = CONV_ALPHA + 2 * CP_WORDS          # 12
+CP_ROW_U32 = CP_MARK_OFF + 1 + CP_WORDS          # 17
 
 # SA sampling (text-order): SA rows i with SA[i] % SA_SAMPLE_RATE == 0 are
-# marked; an LF walk reaches a mark in < SA_SAMPLE_RATE steps (bounded unroll).
-SA_SAMPLE_RATE = 32
-# mark-rank rows: [cum_marks, 4 words of mark bits] per 128 SA rows
-MARK_ROW_U32 = 1 + CP_WORDS  # 5
+# marked; an LF walk reaches a mark in < SA_SAMPLE_RATE steps (bounded
+# unroll).  16 trades sample memory (n/4 bytes/block) for a short walk --
+# the TPU-specific trade-off of SURVEY.md hard-part 1.
+SA_SAMPLE_RATE = 16
 
 # ---- SAM flags --------------------------------------------------------------
 FLAG_PAIRED = 0x1

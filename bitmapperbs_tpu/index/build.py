@@ -115,17 +115,20 @@ def _pack_bits(bits: np.ndarray) -> np.ndarray:
 
 @dataclasses.dataclass
 class PackedBlock:
-    """One FM-index block (SURVEY.md C5-C8 artifacts) over a converted text."""
+    """One FM-index block (SURVEY.md C5-C8 artifacts) over a converted text.
+
+    cp_rows carries BWT planes, occ checkpoints AND SA-sample mark bits in
+    one row (constants.py layout) so the device LF step is a single gather.
+    """
 
     n: int                    # text length including the trailing sentinel
     cbase: np.ndarray         # uint32[4]: C[c] = # symbols with code < c
-    cp_rows: np.ndarray       # uint32[R, CP_ROW_U32] checkpointed bit-plane BWT
-    mark_rows: np.ndarray     # uint32[R, MARK_ROW_U32] SA-sample mark bits
+    cp_rows: np.ndarray       # uint32[R, CP_ROW_U32]
     sa_samples: np.ndarray    # uint32[num_marks] SA values at marked rows
 
     def nbytes(self) -> int:
         return (self.cbase.nbytes + self.cp_rows.nbytes
-                + self.mark_rows.nbytes + self.sa_samples.nbytes)
+                + self.sa_samples.nbytes)
 
 
 def build_block(conv_text: np.ndarray, sa: np.ndarray | None = None) -> PackedBlock:
@@ -166,20 +169,19 @@ def build_block(conv_text: np.ndarray, sa: np.ndarray | None = None) -> PackedBl
     p0 = _pack_bits((bwt_pad & 1).astype(np.uint8)).reshape(rows, K.CP_WORDS)
     p1 = _pack_bits(((bwt_pad >> 1) & 1).astype(np.uint8)).reshape(rows, K.CP_WORDS)
     cp[:, K.CONV_ALPHA:K.CONV_ALPHA + K.CP_WORDS] = p0
-    cp[:, K.CONV_ALPHA + K.CP_WORDS:] = p1
+    cp[:, K.CONV_ALPHA + K.CP_WORDS:K.CP_MARK_OFF] = p1
 
     # SA sampling, text-order: mark rows whose SA value % rate == 0
     marked = (sa % K.SA_SAMPLE_RATE) == 0
     marked_pad = np.concatenate([marked, np.zeros(npad, dtype=bool)])
-    mk = np.zeros((rows, K.MARK_ROW_U32), dtype=np.uint32)
     cnt = np.zeros(rows, dtype=np.uint64)
     cnt[1:] = np.cumsum(marked_pad.reshape(rows, K.CP_BLOCK).sum(axis=1, dtype=np.uint64))[:-1]
-    mk[:, 0] = cnt.astype(np.uint32)
-    mk[:, 1:] = _pack_bits(marked_pad.astype(np.uint8)).reshape(rows, K.CP_WORDS)
+    cp[:, K.CP_MARK_OFF] = cnt.astype(np.uint32)
+    cp[:, K.CP_MARK_OFF + 1:] = _pack_bits(
+        marked_pad.astype(np.uint8)).reshape(rows, K.CP_WORDS)
     sa_samples = sa[marked].astype(np.uint32)
 
-    return PackedBlock(n=n, cbase=cbase, cp_rows=cp, mark_rows=mk,
-                       sa_samples=sa_samples)
+    return PackedBlock(n=n, cbase=cbase, cp_rows=cp, sa_samples=sa_samples)
 
 
 @dataclasses.dataclass
@@ -194,7 +196,7 @@ class BSIndex:
         return sum(b.nbytes() for b in self.blocks) + self.genome.codes.nbytes
 
 
-INDEX_VERSION = 1
+INDEX_VERSION = 2
 
 
 def build_index(fasta) -> BSIndex:
@@ -223,7 +225,6 @@ def save_index(idx: BSIndex, prefix: str) -> None:
     for bi, b in enumerate(idx.blocks):
         arrays[f"b{bi}_cbase"] = b.cbase
         arrays[f"b{bi}_cp_rows"] = b.cp_rows
-        arrays[f"b{bi}_mark_rows"] = b.mark_rows
         arrays[f"b{bi}_sa_samples"] = b.sa_samples
     np.savez(prefix + ".npz", **arrays)
     manifest = dict(idx.meta)
@@ -251,7 +252,6 @@ def load_index(prefix: str) -> BSIndex:
             n=manifest["block_n"][bi],
             cbase=z[f"b{bi}_cbase"],
             cp_rows=z[f"b{bi}_cp_rows"],
-            mark_rows=z[f"b{bi}_mark_rows"],
             sa_samples=z[f"b{bi}_sa_samples"],
         ))
     meta = {k: manifest[k] for k in

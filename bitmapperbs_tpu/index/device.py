@@ -29,7 +29,6 @@ class DeviceIndex:
     # FM blocks, stacked [2, ...]
     cp_rows: jax.Array      # uint32[2 * rows_max, CP_ROW_U32] (flattened)
     cbase: jax.Array        # uint32[2, CONV_ALPHA]
-    mark_rows: jax.Array    # uint32[2 * rows_max, MARK_ROW_U32]
     sa_samples: jax.Array   # uint32[2, samples_max]
     n: jax.Array            # uint32[2] text lengths (incl sentinel)
     # original genome, bit-packed planes, fwd + rc orientations
@@ -40,8 +39,7 @@ class DeviceIndex:
     @property
     def nbytes(self) -> int:
         return sum(int(a.size) * 4 for a in
-                   (self.cp_rows, self.mark_rows, self.sa_samples,
-                    self.g_planes))
+                   (self.cp_rows, self.sa_samples, self.g_planes))
 
 
 def upload_index(idx: BSIndex, device=None) -> DeviceIndex:
@@ -56,7 +54,6 @@ def upload_index(idx: BSIndex, device=None) -> DeviceIndex:
         return out
 
     cp = padded([b.cp_rows for b in idx.blocks], rows_max, K.CP_ROW_U32)
-    mk = padded([b.mark_rows for b in idx.blocks], rows_max, K.MARK_ROW_U32)
     sa = np.zeros((2, max(smax, 1)), dtype=np.uint32)
     for i, b in enumerate(idx.blocks):
         sa[i, :len(b.sa_samples)] = b.sa_samples
@@ -74,7 +71,6 @@ def upload_index(idx: BSIndex, device=None) -> DeviceIndex:
     return DeviceIndex(
         cp_rows=put(cp.reshape(2 * rows_max, K.CP_ROW_U32)),
         cbase=put(np.stack([b.cbase for b in idx.blocks])),
-        mark_rows=put(mk.reshape(2 * rows_max, K.MARK_ROW_U32)),
         sa_samples=put(sa),
         n=put(np.array([b.n for b in idx.blocks], dtype=np.uint32)),
         g_planes=put(gp),

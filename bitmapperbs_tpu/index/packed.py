@@ -45,7 +45,7 @@ def occ(block: PackedBlock, c, i) -> np.ndarray:
     within = (i % K.CP_BLOCK).astype(np.uint32)
     rows = block.cp_rows[row]                      # [..., CP_ROW_U32]
     base = np.take_along_axis(rows[..., :_A], c[..., None].astype(np.int64), -1)[..., 0]
-    ind = _indicator_words(rows[..., _A:], c)      # [..., _W]
+    ind = _indicator_words(rows[..., _A:_A + 2 * _W], c)      # [..., _W]
     mask = _lower_bits_mask(within)
     cnt = np.bitwise_count(ind & mask).sum(axis=-1).astype(np.uint64)
     return (base.astype(np.uint64) + cnt).astype(np.uint64)
@@ -60,7 +60,7 @@ def bwt_symbol(block: PackedBlock, i) -> np.ndarray:
     b = within % 32
     rows = block.cp_rows[row]
     p0 = np.take_along_axis(rows[..., _A:_A + _W], w[..., None], -1)[..., 0]
-    p1 = np.take_along_axis(rows[..., _A + _W:], w[..., None], -1)[..., 0]
+    p1 = np.take_along_axis(rows[..., _A + _W:_A + 2 * _W], w[..., None], -1)[..., 0]
     return (((p0 >> b) & 1) | (((p1 >> b) & 1) << 1)).astype(np.uint8)
 
 
@@ -92,9 +92,9 @@ def _mark_rank(block: PackedBlock, i):
     i = np.asarray(i, dtype=np.uint64)
     row = (i // K.CP_BLOCK).astype(np.int64)
     within = (i % K.CP_BLOCK).astype(np.uint32)
-    rows = block.mark_rows[row]
-    base = rows[..., 0].astype(np.uint64)
-    words = rows[..., 1:]
+    rows = block.cp_rows[row]
+    base = rows[..., K.CP_MARK_OFF].astype(np.uint64)
+    words = rows[..., K.CP_MARK_OFF + 1:]
     mask = _lower_bits_mask(within)
     rank = base + np.bitwise_count(words & mask).sum(axis=-1).astype(np.uint64)
     w = (within // 32).astype(np.int64)

@@ -41,7 +41,7 @@ def occ(dix: DeviceIndex, block, c, i):
     base = jnp.take_along_axis(rows[..., :_A], c.astype(jnp.int32)[..., None],
                                axis=-1)[..., 0]
     p0 = rows[..., _A:_A + _W]
-    p1 = rows[..., _A + _W:]
+    p1 = rows[..., _A + _W:_A + 2 * _W]
     b0 = (U32(0) - (c.astype(U32) & 1))[..., None]
     b1 = (U32(0) - ((c.astype(U32) >> 1) & 1))[..., None]
     ind = ~(p0 ^ b0) & ~(p1 ^ b1)
@@ -67,16 +67,16 @@ def bwt_symbol(dix: DeviceIndex, block, i):
     w = within // 32
     b = (within % 32).astype(U32)
     p0 = jnp.take_along_axis(rows[..., _A:_A + _W], w[..., None], axis=-1)[..., 0]
-    p1 = jnp.take_along_axis(rows[..., _A + _W:], w[..., None], axis=-1)[..., 0]
+    p1 = jnp.take_along_axis(rows[..., _A + _W:_A + 2 * _W], w[..., None], axis=-1)[..., 0]
     return ((p0 >> b) & 1) | (((p1 >> b) & 1) << 1)
 
 
 def _mark_rank(dix: DeviceIndex, block, i):
     row = (i // K.CP_BLOCK).astype(jnp.int32) + block.astype(jnp.int32) * dix.rows_max
     within = i % K.CP_BLOCK
-    rows = dix.mark_rows[row]
-    base = rows[..., 0]
-    words = rows[..., 1:]
+    rows = dix.cp_rows[row]
+    base = rows[..., K.CP_MARK_OFF]
+    words = rows[..., K.CP_MARK_OFF + 1:]
     rank = base + _popcount_sum(words & _lower_mask(within))
     w = (within // 32).astype(jnp.int32)
     bit = jnp.take_along_axis(words, w[..., None], axis=-1)[..., 0]
@@ -84,40 +84,69 @@ def _mark_rank(dix: DeviceIndex, block, i):
     return marked.astype(jnp.bool_), rank
 
 
+def _select_word(words, w):
+    """words[..., 0..3] selected by per-lane w in [0,4) via a where-chain
+    (take_along_axis lowers to a slow per-element gather on TPU)."""
+    out = words[..., 0]
+    for k in range(1, _W):
+        out = jnp.where(w == k, words[..., k], out)
+    return out
+
+
 def locate(dix: DeviceIndex, block, i, valid):
     """SA_block[i] per lane via <= SA_SAMPLE_RATE lockstep LF steps
     (SURVEY.md hard-part 1: the walk is a fixed unroll with done-masking).
 
-    Invalid lanes walk garbage safely (positions are clamped into range).
-    Returns uint32 text positions (garbage where ~valid).
+    Each step is ONE gather of the combined checkpoint row (occ counts,
+    BWT planes, and SA-mark bits share a row precisely so this works; TPU
+    gather cost is per-row).  The SA-sample lookup happens once after the
+    loop.  Invalid lanes walk garbage safely.  Returns uint32 positions.
     """
-    nmax = dix.n[block.astype(jnp.int32)]
-    i = jnp.where(valid, i, 0).astype(U32)
+    blk = block.astype(jnp.int32)
+    nmax = dix.n[blk]
+    i = jnp.minimum(jnp.where(valid, i, 0).astype(U32), nmax - 1)
+    zeros = jnp.zeros_like(i)
+
+    def step(_, st):
+        cur, steps, rank_out, done = st
+        row = (cur // K.CP_BLOCK).astype(jnp.int32) + blk * dix.rows_max
+        rows = dix.cp_rows[row]                    # ONE gather per step
+        within = cur % K.CP_BLOCK
+        w = (within // 32).astype(jnp.int32)
+        b = (within % 32).astype(U32)
+
+        # SA-mark test + rank from the same row
+        mwords = rows[..., K.CP_MARK_OFF + 1:]
+        mbit = (_select_word(mwords, w) >> b) & 1
+        mrank = rows[..., K.CP_MARK_OFF] + _popcount_sum(
+            mwords & _lower_mask(within))
+        hit = (mbit == 1) & ~done
+        rank_out = jnp.where(hit, mrank, rank_out)
+        done = done | (mbit == 1)
+
+        # BWT symbol + occ rank from the same row -> LF step
+        p0 = rows[..., _A:_A + _W]
+        p1 = rows[..., _A + _W:_A + 2 * _W]
+        c0 = (_select_word(p0, w) >> b) & 1
+        c1 = (_select_word(p1, w) >> b) & 1
+        c = c0 | (c1 << 1)
+        base = _select_word(rows[..., :_A], c.astype(jnp.int32))
+        ind = ~(p0 ^ (U32(0) - c0)[..., None]) & ~(p1 ^ (U32(0) - c1)[..., None])
+        occ_c = base + _popcount_sum(ind & _lower_mask(within))
+        nxt = jnp.minimum(_cbase(dix, blk, c) + occ_c, nmax - 1)
+        cur = jnp.where(done, cur, nxt)
+        steps = jnp.where(done, steps, steps + 1)
+        return cur, steps, rank_out, done
+
+    _, steps, rank, done = jax.lax.fori_loop(
+        0, K.SA_SAMPLE_RATE, step,
+        (i, zeros, zeros, jnp.zeros(i.shape, dtype=jnp.bool_)))
 
     smax = dix.sa_samples.shape[1]
     sa_flat = dix.sa_samples.reshape(-1)
-
-    def step(_, st):
-        cur, steps, out, done = st
-        marked, rank = _mark_rank(dix, block, cur)
-        sample = sa_flat[jnp.minimum(
-            block.astype(jnp.int32) * smax + rank.astype(jnp.int32),
-            2 * smax - 1)]
-        hit = marked & ~done
-        out = jnp.where(hit, sample + steps, out)
-        done = done | marked
-        c = bwt_symbol(dix, block, cur)
-        nxt = _cbase(dix, block, c) + occ(dix, block, c, cur)
-        nxt = jnp.minimum(nxt, nmax - 1)  # safety clamp for garbage lanes
-        cur = jnp.where(done, cur, nxt)
-        steps = jnp.where(done, steps, steps + 1)
-        return cur, steps, out, done
-
-    zeros = jnp.zeros_like(i)
-    _, _, out, _ = jax.lax.fori_loop(
-        0, K.SA_SAMPLE_RATE, step,
-        (i, zeros, zeros, jnp.zeros(i.shape, dtype=jnp.bool_)))
-    return out
+    sample = sa_flat[jnp.minimum(blk * smax + rank.astype(jnp.int32),
+                                 2 * smax - 1)]
+    return sample + steps
 
 
 def search_patterns(dix: DeviceIndex, block, patterns, starts, ends,
