@@ -25,6 +25,14 @@ from bitmapperbs_tpu.config import AlignerConfig
 from bitmapperbs_tpu.index.device import DeviceIndex
 from bitmapperbs_tpu.ops import fm, verify
 
+
+def myers_fn(cfg: AlignerConfig):
+    """Pallas kernel on TPU, jnp fallback elsewhere (bit-identical)."""
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        from bitmapperbs_tpu.ops.pallas_kernels import myers_pallas
+        return myers_pallas
+    return verify.myers
+
 U32 = jnp.uint32
 INVALID = jnp.uint32(0xFFFFFFFF)
 INF = jnp.int32(1 << 20)
@@ -163,7 +171,7 @@ def candidate_grids(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths,
         peq, pad = verify.build_peq(frame_reads, lengths[:, None], m)
         peq_b = jnp.broadcast_to(peq[:, :, None], (B, F, Kc, 4, Wd))
         pad_b = jnp.broadcast_to(pad[:, :, None], (B, F, Kc, Wd))
-        med = verify.myers(win_planes, peq_b, pad_b, m, ncols)
+        med = myers_fn(cfg)(win_planes, peq_b, pad_b, m, ncols)
         score = jnp.where(ham <= e, ham, med)
     else:
         score = ham

@@ -185,9 +185,10 @@ def map_batch_pe_device(dix: DeviceIndex, cfg: AlignerConfig,
         win = verify.window_planes(dix.g_planes,
                                    jnp.broadcast_to(block[:, None], (B, R)),
                                    jnp.where(p_ok, a_ms, 0) - U32(e), Ww, L)
+        from bitmapperbs_tpu.models.aligner import myers_fn
         peq_b = jnp.broadcast_to(ms_peq[:, None], (B, R, 4, Wd))
         pad_b = jnp.broadcast_to(ms_pad[:, None], (B, R, Wd))
-        rmed = verify.myers(win, peq_b, pad_b, m, ncols)
+        rmed = myers_fn(cfg)(win, peq_b, pad_b, m, ncols)
         rscore = jnp.where(rham <= e, rham, rmed)
     else:
         rscore = rham
