@@ -29,12 +29,18 @@ class DeviceIndex:
     # FM blocks, stacked [2, ...]
     cp_rows: jax.Array      # uint32[2 * rows_max, CP_ROW_U32] (flattened)
     cbase: jax.Array        # uint32[2, CONV_ALPHA]
-    sa_samples: jax.Array   # uint32[2, samples_max]
+    sa_samples: jax.Array   # uint32[2 * samples_max] (flat; shardable)
     n: jax.Array            # uint32[2] text lengths (incl sentinel)
     # original genome, bit-packed planes, fwd + rc orientations
     g_planes: jax.Array     # uint32[2, 3, words]: [orient][bit0,bit1,nmask]
     rows_max: int = dataclasses.field(metadata=dict(static=True))
     genome_len: int = dataclasses.field(metadata=dict(static=True))
+    samples_max: int = dataclasses.field(metadata=dict(static=True))
+    # sharded-index mode (BASELINE: index "replicated or sharded"): when set,
+    # cp_rows / sa_samples / g_planes hold only this device's shard along
+    # their major axis and every fetch psums partial gathers over this axis.
+    idx_axis: str | None = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     @property
     def nbytes(self) -> int:
@@ -71,9 +77,10 @@ def upload_index(idx: BSIndex, device=None) -> DeviceIndex:
     return DeviceIndex(
         cp_rows=put(cp.reshape(2 * rows_max, K.CP_ROW_U32)),
         cbase=put(np.stack([b.cbase for b in idx.blocks])),
-        sa_samples=put(sa),
+        sa_samples=put(sa.reshape(-1)),
         n=put(np.array([b.n for b in idx.blocks], dtype=np.uint32)),
         g_planes=put(gp),
         rows_max=rows_max,
         genome_len=idx.genome.length,
+        samples_max=sa.shape[1],
     )

@@ -158,7 +158,7 @@ def candidate_grids(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths,
     lenmask = verify.length_mask(lengths, m)[:, None, :]         # B,1,Wd
     block_kc = jnp.broadcast_to(blocks[None, :, None], (B, F, Kc))
     ref_planes = verify.window_planes(
-        dix.g_planes, block_kc, jnp.where(c_ok, cand, 0), Wd, L)
+        dix.g_planes, block_kc, jnp.where(c_ok, cand, 0), Wd, L, dix.idx_axis)
     rp = tuple(p[:, :, None, :] for p in read_planes)
     ham = verify.hamming(ref_planes, rp, lenmask[:, :, None, :])  # B,F,Kc
 
@@ -167,7 +167,7 @@ def candidate_grids(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths,
         Ww = -(-ncols // 32)
         win_planes = verify.window_planes(
             dix.g_planes, block_kc,
-            jnp.where(c_ok, cand, 0) - U32(e), Ww, L)
+            jnp.where(c_ok, cand, 0) - U32(e), Ww, L, dix.idx_axis)
         peq, pad = verify.build_peq(frame_reads, lengths[:, None], m)
         peq_b = jnp.broadcast_to(peq[:, :, None], (B, F, Kc, 4, Wd))
         pad_b = jnp.broadcast_to(pad[:, :, None], (B, F, Kc, Wd))

@@ -177,14 +177,14 @@ def map_batch_pe_device(dix: DeviceIndex, cfg: AlignerConfig,
     rp = tuple(pl[:, None, :] for pl in ms_planes)
     ref = verify.window_planes(dix.g_planes,
                                jnp.broadcast_to(block[:, None], (B, R)),
-                               jnp.where(p_ok, a_ms, 0), Wd, L)
+                               jnp.where(p_ok, a_ms, 0), Wd, L, dix.idx_axis)
     rham = verify.hamming(ref, rp, ms_lenmask[:, None, :])
     if cfg.indels and e > 0:
         ncols = m + 2 * e
         Ww = -(-ncols // 32)
         win = verify.window_planes(dix.g_planes,
                                    jnp.broadcast_to(block[:, None], (B, R)),
-                                   jnp.where(p_ok, a_ms, 0) - U32(e), Ww, L)
+                                   jnp.where(p_ok, a_ms, 0) - U32(e), Ww, L, dix.idx_axis)
         from bitmapperbs_tpu.models.aligner import myers_fn
         peq_b = jnp.broadcast_to(ms_peq[:, None], (B, R, 4, Wd))
         pad_b = jnp.broadcast_to(ms_pad[:, None], (B, R, Wd))

@@ -33,11 +33,41 @@ def _popcount_sum(words):
     return jax.lax.population_count(words).sum(axis=-1, dtype=U32)
 
 
+def fetch_cp_rows(dix: DeviceIndex, row):
+    """Gather checkpoint rows by GLOBAL flat row index.
+
+    Replicated index: plain gather.  Sharded index (dix.idx_axis set): each
+    device gathers its local range and the partial rows are psum-merged over
+    the index axis (SURVEY.md 3.5: shard-local partials + collectives)."""
+    if dix.idx_axis is None:
+        return dix.cp_rows[row]
+    shard_rows = dix.cp_rows.shape[0]
+    base = (jax.lax.axis_index(dix.idx_axis) * shard_rows).astype(jnp.int32)
+    local = row - base
+    ok = (local >= 0) & (local < shard_rows)
+    got = dix.cp_rows[jnp.clip(local, 0, shard_rows - 1)]
+    got = jnp.where(ok[..., None], got, 0)
+    return jax.lax.psum(got, dix.idx_axis)
+
+
+def fetch_sa_samples(dix: DeviceIndex, flat_idx):
+    """sa_samples flat gather by GLOBAL index, psum-merged when sharded."""
+    flat_idx = jnp.minimum(flat_idx, 2 * dix.samples_max - 1)
+    if dix.idx_axis is None:
+        return dix.sa_samples[flat_idx]
+    shard = dix.sa_samples.shape[0]
+    base = (jax.lax.axis_index(dix.idx_axis) * shard).astype(jnp.int32)
+    local = flat_idx - base
+    ok = (local >= 0) & (local < shard)
+    got = dix.sa_samples[jnp.clip(local, 0, shard - 1)]
+    return jax.lax.psum(jnp.where(ok, got, 0), dix.idx_axis)
+
+
 def occ(dix: DeviceIndex, block, c, i):
     """# occurrences of symbol c in BWT_block[0:i). Lanes of (block, c, i)."""
     row = (i // K.CP_BLOCK).astype(jnp.int32) + block.astype(jnp.int32) * dix.rows_max
     within = i % K.CP_BLOCK
-    rows = dix.cp_rows[row]                       # [..., CP_ROW_U32]
+    rows = fetch_cp_rows(dix, row)                # [..., CP_ROW_U32]
     base = jnp.take_along_axis(rows[..., :_A], c.astype(jnp.int32)[..., None],
                                axis=-1)[..., 0]
     p0 = rows[..., _A:_A + _W]
@@ -63,7 +93,7 @@ def extend_backward(dix: DeviceIndex, block, sp, ep, c):
 def bwt_symbol(dix: DeviceIndex, block, i):
     row = (i // K.CP_BLOCK).astype(jnp.int32) + block.astype(jnp.int32) * dix.rows_max
     within = (i % K.CP_BLOCK).astype(jnp.int32)
-    rows = dix.cp_rows[row]
+    rows = fetch_cp_rows(dix, row)
     w = within // 32
     b = (within % 32).astype(U32)
     p0 = jnp.take_along_axis(rows[..., _A:_A + _W], w[..., None], axis=-1)[..., 0]
@@ -74,7 +104,7 @@ def bwt_symbol(dix: DeviceIndex, block, i):
 def _mark_rank(dix: DeviceIndex, block, i):
     row = (i // K.CP_BLOCK).astype(jnp.int32) + block.astype(jnp.int32) * dix.rows_max
     within = i % K.CP_BLOCK
-    rows = dix.cp_rows[row]
+    rows = fetch_cp_rows(dix, row)
     base = rows[..., K.CP_MARK_OFF]
     words = rows[..., K.CP_MARK_OFF + 1:]
     rank = base + _popcount_sum(words & _lower_mask(within))
@@ -110,7 +140,7 @@ def locate(dix: DeviceIndex, block, i, valid):
     def step(_, st):
         cur, steps, rank_out, done = st
         row = (cur // K.CP_BLOCK).astype(jnp.int32) + blk * dix.rows_max
-        rows = dix.cp_rows[row]                    # ONE gather per step
+        rows = fetch_cp_rows(dix, row)             # ONE gather per step
         within = cur % K.CP_BLOCK
         w = (within // 32).astype(jnp.int32)
         b = (within % 32).astype(U32)
@@ -142,10 +172,8 @@ def locate(dix: DeviceIndex, block, i, valid):
         0, K.SA_SAMPLE_RATE, step,
         (i, zeros, zeros, jnp.zeros(i.shape, dtype=jnp.bool_)))
 
-    smax = dix.sa_samples.shape[1]
-    sa_flat = dix.sa_samples.reshape(-1)
-    sample = sa_flat[jnp.minimum(blk * smax + rank.astype(jnp.int32),
-                                 2 * smax - 1)]
+    sample = fetch_sa_samples(
+        dix, blk * dix.samples_max + rank.astype(jnp.int32))
     return sample + steps
 
 

@@ -56,7 +56,8 @@ def length_mask(lengths, m: int):
                     - jnp.arange(nw, dtype=jnp.int32) * 32)
 
 
-def window_planes(g_planes, orient, start, nwords: int, genome_len: int):
+def window_planes(g_planes, orient, start, nwords: int, genome_len: int,
+                  idx_axis: str | None = None):
     """Extract `nwords` position-aligned uint32 words per lane from the
     packed genome planes, starting at (possibly wrapped-negative) `start`.
 
@@ -69,17 +70,29 @@ def window_planes(g_planes, orient, start, nwords: int, genome_len: int):
     oracle frame_slice exactly.
     Returns (b0, b1, nmask): each uint32[..., nwords].
     """
-    W = g_planes.shape[-1]
+    W = g_planes.shape[-1]          # local shard width when idx_axis is set
     flat = g_planes.reshape(6, W)
+    if idx_axis is not None:
+        import jax as _jax
+        Wg = W * _jax.lax.axis_size(idx_axis)
+        wbase = (_jax.lax.axis_index(idx_axis) * W).astype(jnp.int32)
+    else:
+        Wg = W
     sh = (start & 31).astype(U32)
     # +32 bias into the zero-padded plane: unwraps starts in [-32, 0)
     wi = ((start + 32) >> 5).astype(jnp.int32)
     offs = jnp.arange(nwords + 1, dtype=jnp.int32)
-    rows = jnp.clip(wi[..., None] + offs, 0, W - 1)
+    rows = jnp.clip(wi[..., None] + offs, 0, Wg - 1)
 
     def plane(p):
         pid = orient.astype(jnp.int32)[..., None] * 3 + p
-        raw = flat[pid, rows]
+        if idx_axis is None:
+            raw = flat[pid, rows]
+        else:
+            local = rows - wbase
+            ok = (local >= 0) & (local < W)
+            raw = flat[pid, jnp.clip(local, 0, W - 1)]
+            raw = jax.lax.psum(jnp.where(ok, raw, 0), idx_axis)
         lo = raw[..., :-1]
         hi = raw[..., 1:]
         shb = sh[..., None]

@@ -1,0 +1,127 @@
+"""shard_map pipelines over a device mesh (SURVEY.md 2.2 / 3.5, config 5).
+
+Two modes:
+- replicated index (default): mesh ('data',), reads sharded over chips,
+  DeviceIndex replicated; zero collectives in the hot path.
+- sharded index: mesh ('data', 'idx'), DeviceIndex's big arrays sharded over
+  'idx', reads sharded over 'data' and replicated over 'idx'; every index
+  fetch psum-merges shard-local partial rows over ICI (ops/fm.fetch_*).
+
+Both modes produce bitwise-identical results to the single-device pipeline
+(frozen order-free selection), which the mesh tests assert.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bitmapperbs_tpu.config import AlignerConfig
+from bitmapperbs_tpu.index.build import BSIndex
+from bitmapperbs_tpu.index.device import DeviceIndex, upload_index
+from bitmapperbs_tpu.models.aligner import map_batch_device
+
+
+def _pad_to(x, mult, axis=0):
+    n = x.shape[axis]
+    pad = -n % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return np.pad(x, widths)
+
+
+def upload_index_sharded(idx: BSIndex, mesh: Mesh,
+                         idx_axis: str = "idx") -> DeviceIndex:
+    """Upload with cp_rows / sa_samples / g_planes sharded over `idx_axis`.
+
+    Pads each sharded axis to a multiple of the axis size so shards are
+    equal; global static sizes (rows_max, samples_max) keep describing the
+    UNPADDED layout plus padding, consistent with fetch_* address math.
+    """
+    ns = mesh.shape[idx_axis]
+    host = upload_index(idx)  # reuse packing; arrays still on default device
+
+    def per_block_pad(flat2, stride, new_stride):
+        """[2*stride, ...] -> [2*new_stride, ...], block stride preserved."""
+        arr = np.asarray(flat2)
+        out = np.zeros((2 * new_stride, *arr.shape[1:]), arr.dtype)
+        out[:stride] = arr[:stride]
+        out[new_stride:new_stride + stride] = arr[stride:2 * stride]
+        return out
+
+    rows_max = -(-host.rows_max // ns) * ns
+    cp = per_block_pad(host.cp_rows, host.rows_max, rows_max)
+    samples_max = -(-host.samples_max // ns) * ns
+    sa = per_block_pad(host.sa_samples, host.samples_max, samples_max)
+    gp = _pad_to(np.asarray(host.g_planes), ns, axis=2)
+
+    cp_d = jax.device_put(jnp.asarray(cp),
+                          NamedSharding(mesh, P(idx_axis, None)))
+    sa_d = jax.device_put(jnp.asarray(sa), NamedSharding(mesh, P(idx_axis)))
+    gp_d = jax.device_put(jnp.asarray(gp),
+                          NamedSharding(mesh, P(None, None, idx_axis)))
+    rep = NamedSharding(mesh, P())
+    return DeviceIndex(
+        cp_rows=cp_d,
+        cbase=jax.device_put(host.cbase, rep),
+        sa_samples=sa_d,
+        n=jax.device_put(host.n, rep),
+        g_planes=gp_d,
+        rows_max=rows_max,
+        genome_len=host.genome_len,
+        samples_max=samples_max,
+        idx_axis=idx_axis,
+    )
+
+
+def _dix_specs(dix: DeviceIndex, idx_axis: str | None):
+    if idx_axis is None:
+        return DeviceIndex(
+            cp_rows=P(), cbase=P(), sa_samples=P(), n=P(), g_planes=P(),
+            rows_max=dix.rows_max, genome_len=dix.genome_len,
+            samples_max=dix.samples_max, idx_axis=None)
+    return DeviceIndex(
+        cp_rows=P(idx_axis, None), cbase=P(), sa_samples=P(idx_axis),
+        n=P(), g_planes=P(None, None, idx_axis),
+        rows_max=dix.rows_max, genome_len=dix.genome_len,
+        samples_max=dix.samples_max, idx_axis=idx_axis)
+
+
+def make_sharded_se_mapper(cfg: AlignerConfig, mesh: Mesh,
+                           dix: DeviceIndex):
+    """Returns jitted fn(dix, reads, lengths) running under shard_map."""
+    idx_axis = dix.idx_axis
+    specs = _dix_specs(dix, idx_axis)
+
+    def local(dix_l, reads, lengths):
+        out = map_batch_device(dix_l, cfg, reads, lengths)
+        return out
+
+    out_spec = P("data")
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(specs, P("data", None), P("data")),
+        out_specs={k: out_spec for k in
+                   ("best_score", "best_bp", "best_anchor",
+                    "second_score", "overflow")},
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def global_stats(out, mesh: Mesh):
+    """psum'd device counters (SURVEY.md 5.5): mapped / overflow counts."""
+    from bitmapperbs_tpu.models.aligner import INF
+
+    mapped = (out["best_score"] < INF).sum()
+    overflow = out["overflow"].sum()
+    return {"mapped": int(mapped), "overflow": int(overflow),
+            "total": int(out["best_score"].shape[0])}

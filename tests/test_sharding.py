@@ -1,0 +1,80 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY.md section 4 items
+4-5): data-parallel determinism across shardings, sharded-index parity."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bitmapperbs_tpu.config import AlignerConfig
+from bitmapperbs_tpu.index.build import build_index
+from bitmapperbs_tpu.index.device import upload_index
+from bitmapperbs_tpu.models.aligner import map_batch_device
+from bitmapperbs_tpu.models.host import prepare_batch
+from bitmapperbs_tpu.parallel.shard import (make_sharded_se_mapper,
+                                            upload_index_sharded)
+from bitmapperbs_tpu.utils.simulate import random_genome_fasta, simulate_reads
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(31)
+    idx = build_index(random_genome_fasta(rng, contigs=(8000, 3000)))
+    cfg = AlignerConfig(max_errors=3, indels=True, read_len_bucket=64,
+                        batch_size=64)
+    sims = simulate_reads(idx.genome, 64, read_len=60, seed=7, sub_rate=0.01)
+    reads, lengths = prepare_batch([s.codes for s in sims], 64, 64)
+    return idx, cfg, jnp.asarray(reads), jnp.asarray(lengths)
+
+
+def _as_np(out):
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def test_data_parallel_matches_single_device(setup):
+    idx, cfg, reads, lengths = setup
+    dix = upload_index(idx)
+    ref = _as_np(map_batch_device(dix, cfg, reads, lengths))
+
+    for n in (2, 8):
+        mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
+        dix_r = jax.device_put(dix, NamedSharding(mesh, P()))
+        reads_s = jax.device_put(reads, NamedSharding(mesh, P("data", None)))
+        len_s = jax.device_put(lengths, NamedSharding(mesh, P("data")))
+        fn = make_sharded_se_mapper(cfg, mesh, dix_r)
+        got = _as_np(fn(dix_r, reads_s, len_s))
+        for k in ref:
+            np.testing.assert_array_equal(got[k], ref[k], err_msg=f"{n}:{k}")
+
+
+def test_sharded_index_matches_replicated(setup):
+    idx, cfg, reads, lengths = setup
+    dix = upload_index(idx)
+    ref = _as_np(map_batch_device(dix, cfg, reads, lengths))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "idx"))
+    dix_s = upload_index_sharded(idx, mesh, "idx")
+    reads_s = jax.device_put(reads, NamedSharding(mesh, P("data", None)))
+    len_s = jax.device_put(lengths, NamedSharding(mesh, P("data")))
+    fn = make_sharded_se_mapper(cfg, mesh, dix_s)
+    got = _as_np(fn(dix_s, reads_s, len_s))
+    for k in ref:
+        np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
+
+
+def test_batch_split_invariance(setup):
+    """Same reads, different batch partitioning -> identical per-read output
+    (the frozen selection is order-free; SURVEY.md hard-part 3)."""
+    idx, cfg, reads, lengths = setup
+    dix = upload_index(idx)
+    full = _as_np(map_batch_device(dix, cfg, reads, lengths))
+    cfg2 = cfg.replace(batch_size=32)
+    h1 = _as_np(map_batch_device(dix, cfg2, reads[:32], lengths[:32]))
+    h2 = _as_np(map_batch_device(dix, cfg2, reads[32:], lengths[32:]))
+    for k in ("best_score", "best_bp", "best_anchor", "second_score"):
+        np.testing.assert_array_equal(
+            np.concatenate([h1[k], h2[k]]), full[k], err_msg=k)
