@@ -42,6 +42,9 @@ def build_parser():
     se.add_argument("--seq2", help="paired-end mate 2")
     se.add_argument("--pe", action="store_true", help="paired-end mode")
     se.add_argument("-o", "--output", default="-", help="SAM output (default stdout)")
+    se.add_argument("--bam", action="store_true",
+                    help="write BAM instead of SAM (also implied by a .bam "
+                         "output path)")
     se.add_argument("-e", "--max-errors", type=int, default=4)
     se.add_argument("--no-indels", action="store_true",
                     help="Hamming-only mode (mismatches, no gaps)")
@@ -154,15 +157,26 @@ def cmd_search(args) -> int:
         sys.stderr.write(f"[bitmapperbs_tpu] resuming at record "
                          f"{resume['record']}\n")
 
+    bam = args.bam or args.output.endswith(".bam")
+    if bam and args.output == "-":
+        sys.stderr.write("error: --bam requires -o FILE\n")
+        return 2
+    if bam and resume["record"]:
+        sys.stderr.write("error: --resume is not supported with BAM output\n")
+        return 2
     out_fh = sys.stdout if args.output == "-" else open(
-        args.output, "a" if resume["record"] else "w")
+        args.output,
+        ("ab" if bam else "a") if resume["record"] else ("wb" if bam else "w"))
     stats = MapStats()
     unmapped = []
     t0 = time.time()
 
     cl = "bitmapperbs_tpu " + " ".join(sys.argv[1:])
-    writer = None
-    if not resume["record"]:
+    if bam:
+        from bitmapperbs_tpu.io.bam import BamWriter
+        writer = BamWriter(out_fh, idx.genome.names, idx.genome.lengths,
+                           rg=args.rg, cl=cl)
+    elif not resume["record"]:
         writer = SamWriter(out_fh, idx.genome.names, idx.genome.lengths,
                            rg=args.rg, cl=cl)
     else:
@@ -212,6 +226,8 @@ def cmd_search(args) -> int:
             emit(recs, flat_reads, flat_qn, flat_q)
             out_fh.flush()
 
+    if bam:
+        writer.close()
     wall = time.time() - t0
     stats.report(wall_s=wall)
     if args.stats_json:

@@ -123,13 +123,48 @@ def traceback(window: np.ndarray, read: np.ndarray):
     return dist, ref_start, [(op, ln) for op, ln in cigar]
 
 
+def meth_context(genome: np.ndarray, q: int, ga: bool) -> str:
+    """Bismark-style cytosine context letter (lowercase) at fwd position q.
+
+    ga=False: ref C on the top strand; context from genome[q+1], genome[q+2].
+    ga=True:  ref G = cytosine on the bottom strand; context from the
+    complemented upstream bases genome[q-1], genome[q-2].
+    Returns 'z' (CpG), 'x' (CHG), 'h' (CHH) or 'u' (unknown / N context).
+    """
+    L = len(genome)
+
+    def base(p):
+        return int(genome[p]) if 0 <= p < L else K.N_CODE
+
+    if not ga:
+        b1, b2 = base(q + 1), base(q + 2)
+        g, n = K.G, K.N_CODE
+    else:
+        # on the Crick strand, "next" is q-1, q-2 complemented: G <-> C
+        b1, b2 = base(q - 1), base(q - 2)
+        g, n = K.C, K.N_CODE
+    if b1 == g:
+        return "z"
+    if b1 == n:
+        return "u"
+    if b2 == g:
+        return "x"
+    if b2 == n:
+        return "u"
+    return "h"
+
+
 def cigar_md_nm(window: np.ndarray, read: np.ndarray, ref_start: int,
-                cigar: list[tuple[str, int]], ga: bool = False):
+                cigar: list[tuple[str, int]], ga: bool = False,
+                genome: np.ndarray | None = None, gpos: int = 0):
     """MD / NM / methylation string from an alignment.
 
     NM counts asymmetric-rule edits (conversions excluded); MD likewise.
-    XM-style methylation string (read-length): 'Z' methylated cytosine,
-    'z' converted (unmethylated), '.' otherwise (context-free v1 spec).
+    XM is a Bismark-style methylation string aligned with SEQ: upper case =
+    methylated, lower = converted; Z/z CpG, X/x CHG, H/h CHH, U/u unknown.
+    Context needs bases beyond the alignment window: pass the full `genome`
+    plus the window's absolute fwd position `gpos`; without it the context
+    letter falls back to 'z'/'Z' (context-free).
     With ga=True the cytosine appears as ref G / read G-or-A (fwd-orientation
     view of a reverse-frame hit).
     """
@@ -146,7 +181,9 @@ def cigar_md_nm(window: np.ndarray, read: np.ndarray, ref_start: int,
                 if asym_match(np.array(r), np.array(d), ga=ga):
                     md_run += 1
                     if r == ref_c:
-                        xm.append("Z" if d == read_meth else "z")
+                        ctx = (meth_context(genome, gpos + j, ga)
+                               if genome is not None else "z")
+                        xm.append(ctx.upper() if d == read_meth else ctx)
                     else:
                         xm.append(".")
                 else:

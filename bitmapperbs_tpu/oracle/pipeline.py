@@ -206,7 +206,8 @@ def finalize_hit(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
     cigar_fwd = list(reversed(cigar)) if rev else cigar
     fwd_window = frame_slice(idx.genome.codes, fwd_pos, ref_span)
     md, nm, xm = align.cigar_md_nm(fwd_window, fwd_read, 0, cigar_fwd,
-                                   ga=(b == K.BLOCK_RC))
+                                   ga=(b == K.BLOCK_RC),
+                                   genome=idx.genome.codes, gpos=fwd_pos)
     xr, xg = K.CONV_TAGS[(b, p)]
     return SamRecord(
         qname=qname,

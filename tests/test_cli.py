@@ -40,6 +40,22 @@ def test_index_and_search_se(workdir, capsys):
     assert not os.path.exists(str(out) + ".cursor")
 
 
+def test_search_bam_output(workdir):
+    d, sims = workdir
+    main(["index", str(d / "ref.fa")])
+    out = d / "out.bam"
+    assert main(["search", str(d / "ref.fa"), "--seq", str(d / "reads.fq"),
+                 "-o", str(out), "--read-bucket", "96",
+                 "--batch-size", "30", "--oracle"]) == 0
+    from tests.test_bam import decode_bam
+    text, refs, recs = decode_bam(out.read_bytes())
+    assert refs[0][0] == "chr1"
+    assert len(recs) == 30
+    # --bam without a file errors cleanly
+    assert main(["search", str(d / "ref.fa"), "--seq", str(d / "reads.fq"),
+                 "--bam", "--oracle"]) == 2
+
+
 def test_legacy_flag_spelling(workdir):
     d, _ = workdir
     assert main(["--index", str(d / "ref.fa")]) == 0

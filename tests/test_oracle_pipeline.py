@@ -101,10 +101,40 @@ def test_methylation_xm_tag(idx):
     cfg = AlignerConfig(max_errors=2, indels=False)
     recs = map_batch_se(idx, cfg, [s.codes for s in sims])
     for rec in recs:
-        assert "z" not in rec.xm          # nothing unmethylated
-        # every cytosine position on the XG strand is called Z
+        assert not any(c in rec.xm for c in "zxhu")   # nothing unmethylated
+        # every cytosine position on the XG strand is called methylated
         ref_c = "G" if rec.xg == "GA" else "C"
-        assert rec.xm.count("Z") == rec.seq.count(ref_c)
+        n_meth = sum(rec.xm.count(c) for c in "ZXHU")
+        assert n_meth == rec.seq.count(ref_c)
+
+
+def test_methylation_context_calls(idx):
+    """XM context letters agree with the genome context (Bismark semantics)."""
+    from bitmapperbs_tpu import constants as K2
+    sims = simulate_reads(idx.genome, 25, read_len=60, seed=8, sub_rate=0.0,
+                          meth_rate=0.5)
+    cfg = AlignerConfig(max_errors=2, indels=False)
+    recs = map_batch_se(idx, cfg, [s.codes for s in sims])
+    g = idx.genome.codes
+    for rec in recs:
+        if rec.flag & K2.FLAG_UNMAPPED:
+            continue
+        ci = idx.genome.names.index(rec.rname)
+        start = int(idx.genome.offsets[ci]) + rec.pos - 1
+        ga = rec.xg == "GA"
+        for k, ch in enumerate(rec.xm):
+            if ch == ".":
+                continue
+            q = start + k
+            if not ga:
+                assert g[q] == K2.C
+                want = ("z" if g[q + 1] == K2.G
+                        else "x" if g[q + 2] == K2.G else "h")
+            else:
+                assert g[q] == K2.G
+                want = ("z" if g[q - 1] == K2.C
+                        else "x" if g[q - 2] == K2.C else "h")
+            assert ch.lower() == want, (rec.qname, k, ch, want)
 
 
 def test_ambiguous_repeat_gets_mapq0():
