@@ -85,11 +85,24 @@ CP_WORDS = CP_BLOCK // 32          # 4 words per plane per row
 CP_MARK_OFF = CONV_ALPHA + 2 * CP_WORDS          # 12
 CP_ROW_U32 = CP_MARK_OFF + 1 + CP_WORDS          # 17
 
-# SA sampling (text-order): SA rows i with SA[i] % SA_SAMPLE_RATE == 0 are
-# marked; an LF walk reaches a mark in < SA_SAMPLE_RATE steps (bounded
-# unroll).  16 trades sample memory (n/4 bytes/block) for a short walk --
-# the TPU-specific trade-off of SURVEY.md hard-part 1.
-SA_SAMPLE_RATE = 16
+# SA sampling (text-order): SA rows i with SA[i] % sa_rate == 0 are marked;
+# an LF walk reaches a mark in < sa_rate steps (bounded unroll).  The rate is
+# a per-index build parameter (stored in the artifact): it trades sample
+# memory (4n/rate bytes/block) against LF-walk gather count -- the
+# TPU-specific trade-off of SURVEY.md hard-part 1.  Default 8: locate is one
+# of the gather-bound hot loops and halving the walk beats the extra HBM
+# (GRCh38 two-block samples at rate 8 ~= 3.1 GB, still comfortable).
+DEFAULT_SA_RATE = 8
+
+# k-mer lookup table (KLT): the first KLT k backward-search steps of every
+# seed start from the full interval [0, n), so their (sp, ep) depends only on
+# the seed's last k converted characters.  A dense base-3 table over the
+# 3-letter converted alphabet ({A,G,T} -> digits 0..2) resolves those k steps
+# with ONE row gather instead of k serial occ gathers -- the single biggest
+# fixed cost in the seeding stage.  Entries store the same frozen-on-empty
+# semantics as the search loop, so KLT-initialized search is bit-identical.
+# k is a per-index build parameter; 12 -> 3^12 * 2 u32 = 4.25 MB per block.
+KLT_MAX_K = 12
 
 # ---- SAM flags --------------------------------------------------------------
 FLAG_PAIRED = 0x1

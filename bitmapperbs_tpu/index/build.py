@@ -125,13 +125,58 @@ class PackedBlock:
     cbase: np.ndarray         # uint32[4]: C[c] = # symbols with code < c
     cp_rows: np.ndarray       # uint32[R, CP_ROW_U32]
     sa_samples: np.ndarray    # uint32[num_marks] SA values at marked rows
+    sa_rate: int = K.DEFAULT_SA_RATE   # SA sampling rate (locate walk bound)
+    klt_k: int = 0            # k-mer lookup-table depth (0 = no table)
+    klt: np.ndarray | None = None      # uint32[3^klt_k, 2] (sp, ep)
 
     def nbytes(self) -> int:
         return (self.cbase.nbytes + self.cp_rows.nbytes
-                + self.sa_samples.nbytes)
+                + self.sa_samples.nbytes
+                + (self.klt.nbytes if self.klt is not None else 0))
 
 
-def build_block(conv_text: np.ndarray, sa: np.ndarray | None = None) -> PackedBlock:
+def build_klt(block: "PackedBlock", k: int) -> np.ndarray:
+    """k-mer lookup table: uint32[3^k, 2] of (sp, ep) after k backward steps.
+
+    Index convention matches ops/fm.rolling_kmers: the character consumed at
+    backward step t (pattern position end-1-t, converted code c in {1,2,3})
+    contributes (c-1) * 3^t.  Entries carry the SAME freeze-on-empty
+    semantics as the search loops (host packed.count and device
+    fm.search_patterns): once an interval empties, further extensions keep
+    the first-empty (sp, ep) values -- so table-initialized search is
+    bit-identical to the plain loop, not just emptiness-equivalent.
+    """
+    from bitmapperbs_tpu.index import packed  # local: avoid import cycle
+
+    sp = np.zeros(1, dtype=np.uint64)
+    ep = np.array([block.n], dtype=np.uint64)
+    for t in range(k):
+        sz = 3 ** t
+        empty = sp >= ep
+        nsp = np.empty(3 * sz, dtype=np.uint64)
+        nep = np.empty(3 * sz, dtype=np.uint64)
+        for c in (K.CONV_A, K.CONV_G, K.CONV_T):
+            cc = np.full(sz, c, dtype=np.uint32)
+            s2, e2 = packed.extend_backward(block, sp, ep, cc)
+            lo = (c - 1) * sz
+            nsp[lo:lo + sz] = np.where(empty, sp, s2)
+            nep[lo:lo + sz] = np.where(empty, ep, e2)
+        sp, ep = nsp, nep
+    return np.stack([sp, ep], axis=1).astype(np.uint32)
+
+
+def default_klt_k(n: int) -> int:
+    """Table depth: <= KLT_MAX_K and no deeper than log3(n) (beyond that
+    nearly all entries are empty and the table is wasted memory)."""
+    k = 0
+    while 3 ** (k + 1) <= n and k < K.KLT_MAX_K:
+        k += 1
+    return k
+
+
+def build_block(conv_text: np.ndarray, sa: np.ndarray | None = None,
+                sa_rate: int = K.DEFAULT_SA_RATE,
+                klt_k: int | None = None) -> PackedBlock:
     """Converted text (codes 1..3, no sentinel) -> PackedBlock.
 
     Reference parity: C5 (BWT + occ checkpoints) and C6 (SA sampling).
@@ -172,7 +217,7 @@ def build_block(conv_text: np.ndarray, sa: np.ndarray | None = None) -> PackedBl
     cp[:, K.CONV_ALPHA + K.CP_WORDS:K.CP_MARK_OFF] = p1
 
     # SA sampling, text-order: mark rows whose SA value % rate == 0
-    marked = (sa % K.SA_SAMPLE_RATE) == 0
+    marked = (sa % sa_rate) == 0
     marked_pad = np.concatenate([marked, np.zeros(npad, dtype=bool)])
     cnt = np.zeros(rows, dtype=np.uint64)
     cnt[1:] = np.cumsum(marked_pad.reshape(rows, K.CP_BLOCK).sum(axis=1, dtype=np.uint64))[:-1]
@@ -181,7 +226,11 @@ def build_block(conv_text: np.ndarray, sa: np.ndarray | None = None) -> PackedBl
         marked_pad.astype(np.uint8)).reshape(rows, K.CP_WORDS)
     sa_samples = sa[marked].astype(np.uint32)
 
-    return PackedBlock(n=n, cbase=cbase, cp_rows=cp, sa_samples=sa_samples)
+    block = PackedBlock(n=n, cbase=cbase, cp_rows=cp, sa_samples=sa_samples,
+                        sa_rate=sa_rate)
+    block.klt_k = default_klt_k(n) if klt_k is None else klt_k
+    block.klt = build_klt(block, block.klt_k)
+    return block
 
 
 @dataclasses.dataclass
@@ -196,20 +245,25 @@ class BSIndex:
         return sum(b.nbytes() for b in self.blocks) + self.genome.codes.nbytes
 
 
-INDEX_VERSION = 2
+INDEX_VERSION = 3
 
 
-def build_index(fasta) -> BSIndex:
+def build_index(fasta, sa_rate: int = K.DEFAULT_SA_RATE,
+                klt_k: int | None = None) -> BSIndex:
     """FASTA -> BSIndex (SURVEY.md call stack 3.1)."""
     genome = parse_fasta(fasta)
     ct_fwd = dna.ct_convert(genome.codes)
     ct_rc = dna.ct_convert(dna.revcomp(genome.codes))
-    blocks = [build_block(ct_fwd), build_block(ct_rc)]
+    if klt_k is None:
+        klt_k = default_klt_k(len(genome.codes) + 1)
+    blocks = [build_block(ct_fwd, sa_rate=sa_rate, klt_k=klt_k),
+              build_block(ct_rc, sa_rate=sa_rate, klt_k=klt_k)]
     meta = {
         "version": INDEX_VERSION,
         "genome_sha256": hashlib.sha256(genome.codes.tobytes()).hexdigest(),
         "cp_block": K.CP_BLOCK,
-        "sa_sample_rate": K.SA_SAMPLE_RATE,
+        "sa_sample_rate": sa_rate,
+        "klt_k": klt_k,
         "contig_pad": CONTIG_PAD,
     }
     return BSIndex(genome=genome, blocks=blocks, meta=meta)
@@ -226,6 +280,7 @@ def save_index(idx: BSIndex, prefix: str) -> None:
         arrays[f"b{bi}_cbase"] = b.cbase
         arrays[f"b{bi}_cp_rows"] = b.cp_rows
         arrays[f"b{bi}_sa_samples"] = b.sa_samples
+        arrays[f"b{bi}_klt"] = b.klt
     np.savez(prefix + ".npz", **arrays)
     manifest = dict(idx.meta)
     manifest["names"] = idx.genome.names
@@ -253,7 +308,11 @@ def load_index(prefix: str) -> BSIndex:
             cbase=z[f"b{bi}_cbase"],
             cp_rows=z[f"b{bi}_cp_rows"],
             sa_samples=z[f"b{bi}_sa_samples"],
+            sa_rate=manifest["sa_sample_rate"],
+            klt_k=manifest["klt_k"],
+            klt=z[f"b{bi}_klt"],
         ))
     meta = {k: manifest[k] for k in
-            ("version", "genome_sha256", "cp_block", "sa_sample_rate", "contig_pad")}
+            ("version", "genome_sha256", "cp_block", "sa_sample_rate",
+             "klt_k", "contig_pad")}
     return BSIndex(genome=genome, blocks=blocks, meta=meta)

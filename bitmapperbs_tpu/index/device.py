@@ -33,9 +33,15 @@ class DeviceIndex:
     n: jax.Array            # uint32[2] text lengths (incl sentinel)
     # original genome, bit-packed planes, fwd + rc orientations
     g_planes: jax.Array     # uint32[2, 3, words]: [orient][bit0,bit1,nmask]
+    # k-mer lookup table (constants.py KLT): first klt_k backward-search
+    # steps in one gather; small (<= 8.5 MB), always replicated.
+    klt: jax.Array          # uint32[2 * 3^klt_k, 2] (flat over blocks)
     rows_max: int = dataclasses.field(metadata=dict(static=True))
     genome_len: int = dataclasses.field(metadata=dict(static=True))
     samples_max: int = dataclasses.field(metadata=dict(static=True))
+    sa_rate: int = dataclasses.field(default=K.DEFAULT_SA_RATE,
+                                     metadata=dict(static=True))
+    klt_k: int = dataclasses.field(default=0, metadata=dict(static=True))
     # sharded-index mode (BASELINE: index "replicated or sharded"): when set,
     # cp_rows / sa_samples / g_planes hold only this device's shard along
     # their major axis and every fetch psums partial gathers over this axis.
@@ -73,6 +79,10 @@ def upload_index(idx: BSIndex, device=None) -> DeviceIndex:
         for pi, suf in enumerate(("0", "1", "n")):
             gp[oi, pi, 1:] = planes[pref + suf]
 
+    klt_k = idx.blocks[0].klt_k
+    assert all(b.klt_k == klt_k for b in idx.blocks)
+    klt = np.stack([b.klt for b in idx.blocks])       # [2, 3^k, 2]
+
     put = lambda x: jax.device_put(jnp.asarray(x), device)
     return DeviceIndex(
         cp_rows=put(cp.reshape(2 * rows_max, K.CP_ROW_U32)),
@@ -80,7 +90,10 @@ def upload_index(idx: BSIndex, device=None) -> DeviceIndex:
         sa_samples=put(sa.reshape(-1)),
         n=put(np.array([b.n for b in idx.blocks], dtype=np.uint32)),
         g_planes=put(gp),
+        klt=put(klt.reshape(2 * 3 ** klt_k, 2)),
         rows_max=rows_max,
         genome_len=idx.genome.length,
         samples_max=sa.shape[1],
+        sa_rate=idx.blocks[0].sa_rate,
+        klt_k=klt_k,
     )

@@ -103,7 +103,7 @@ def _mark_rank(block: PackedBlock, i):
 
 
 def locate(block: PackedBlock, i) -> np.ndarray:
-    """SA[i] via LF-walk to a marked row (< SA_SAMPLE_RATE steps), vectorized.
+    """SA[i] via LF-walk to a marked row (< block.sa_rate steps), vectorized.
 
     Reference parity: C8.  The walk is a fixed unroll with done-masking --
     the same schedule the device kernel uses (SURVEY.md hard-part 1).
@@ -112,7 +112,7 @@ def locate(block: PackedBlock, i) -> np.ndarray:
     steps = np.zeros_like(i)
     out = np.zeros_like(i)
     done = np.zeros(i.shape, dtype=bool)
-    for _ in range(K.SA_SAMPLE_RATE):
+    for _ in range(block.sa_rate):
         m, rank = _mark_rank(block, i)
         hit = m & ~done
         out[hit] = block.sa_samples[rank[hit].astype(np.int64)].astype(np.uint64) + steps[hit]
@@ -122,5 +122,5 @@ def locate(block: PackedBlock, i) -> np.ndarray:
         nxt = lf(block, i)
         i = np.where(done, i, nxt)
         steps = np.where(done, steps, steps + 1)
-    assert done.all(), "LF walk exceeded SA_SAMPLE_RATE steps"
+    assert done.all(), "LF walk exceeded sa_rate steps"
     return out

@@ -98,8 +98,15 @@ def candidate_grids(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths,
     block_l = jnp.broadcast_to(blocks[None, :, None], (B, F, S))
     pat_l = jnp.broadcast_to(patterns[:, :, None, :], (B, F, S, m))
     max_seed_len = -(-m // S)
+    end_kmers = None
+    if dix.klt_k and max_seed_len > dix.klt_k:
+        km = fm.rolling_kmers(patterns, dix.klt_k)            # B,F,m
+        idx_e = jnp.clip(ends_l - 1, 0, m - 1)                # B,F,S
+        end_kmers = jnp.take_along_axis(
+            jnp.broadcast_to(km[:, :, None, :], (B, F, S, m)),
+            idx_e[..., None], axis=-1)[..., 0]
     sp, ep = fm.search_patterns(dix, block_l, pat_l, starts_l, ends_l,
-                                max_len=max_seed_len)
+                                max_len=max_seed_len, end_kmers=end_kmers)
 
     # ---- expansion into the locate grid (seed-order truncation at LB) -----
     cnt_u = ep - sp

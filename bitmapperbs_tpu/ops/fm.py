@@ -85,9 +85,16 @@ def _cbase(dix: DeviceIndex, block, c):
 
 
 def extend_backward(dix: DeviceIndex, block, sp, ep, c):
-    """One backward-search step per lane; empty intervals stay empty."""
+    """One backward-search step per lane; empty intervals stay empty.
+
+    The sp and ep occ lookups are stacked into ONE gather (2N rows): TPU
+    gather cost has a large per-op fixed component, so one wide gather beats
+    two narrow ones (scripts/microbench3.py).
+    """
     cb = _cbase(dix, block, c)
-    return cb + occ(dix, block, c, sp), cb + occ(dix, block, c, ep)
+    both = occ(dix, jnp.stack([block, block]), jnp.stack([c, c]),
+               jnp.stack([sp, ep]))
+    return cb + both[0], cb + both[1]
 
 
 def bwt_symbol(dix: DeviceIndex, block, i):
@@ -124,7 +131,7 @@ def _select_word(words, w):
 
 
 def locate(dix: DeviceIndex, block, i, valid):
-    """SA_block[i] per lane via <= SA_SAMPLE_RATE lockstep LF steps
+    """SA_block[i] per lane via <= dix.sa_rate lockstep LF steps
     (SURVEY.md hard-part 1: the walk is a fixed unroll with done-masking).
 
     Each step is ONE gather of the combined checkpoint row (occ counts,
@@ -169,7 +176,7 @@ def locate(dix: DeviceIndex, block, i, valid):
         return cur, steps, rank_out, done
 
     _, steps, rank, done = jax.lax.fori_loop(
-        0, K.SA_SAMPLE_RATE, step,
+        0, dix.sa_rate, step,
         (i, zeros, zeros, jnp.zeros(i.shape, dtype=jnp.bool_)))
 
     sample = fetch_sa_samples(
@@ -177,31 +184,91 @@ def locate(dix: DeviceIndex, block, i, valid):
     return sample + steps
 
 
+def rolling_kmers(patterns, k: int):
+    """Base-3 rolling k-mer codes over converted patterns.
+
+    patterns: uint8[..., m] converted codes (1..3).  Returns int32[..., m]
+    where out[..., j] = sum_{t<k} (patterns[..., j-t] - 1) * 3^t -- exactly
+    the KLT index of the k-mer ENDING at position j (build_klt convention:
+    backward step t consumes pattern position end-1-t).  Positions j < k-1
+    mix in out-of-range garbage; callers only read j >= k-1.
+    """
+    d = patterns.astype(jnp.int32) - 1
+    out = jnp.zeros(patterns.shape, jnp.int32)
+    p3 = 1
+    for t in range(k):
+        if t == 0:
+            shifted = d
+        else:
+            shifted = jnp.concatenate(
+                [jnp.zeros((*d.shape[:-1], t), jnp.int32), d[..., :-t]],
+                axis=-1)
+        out = out + shifted * p3
+        p3 *= 3
+    return out
+
+
+def klt_lookup(dix: DeviceIndex, block, kmer_idx):
+    """(sp, ep) after klt_k backward steps, one row gather per lane."""
+    rows = dix.klt[block.astype(jnp.int32) * (3 ** dix.klt_k)
+                   + kmer_idx.astype(jnp.int32)]
+    return rows[..., 0], rows[..., 1]
+
+
 def search_patterns(dix: DeviceIndex, block, patterns, starts, ends,
-                    max_len: int | None = None):
+                    max_len: int | None = None, end_kmers=None):
     """Batched backward search of seed slices, lockstep over lanes.
 
     patterns: uint8[..., m] converted codes ($AGT space) per lane.
     starts/ends: int32 lanes -- seed slice [start, end) within the pattern.
     block: int32 lanes.  max_len: static bound on slice length (defaults to m).
+    end_kmers: optional int32 lanes -- rolling_kmers(...)[..., end-1] per
+    lane; when given (and dix.klt_k > 0), lanes whose slice is >= klt_k long
+    start from the k-mer lookup table, replacing the first klt_k serial occ
+    steps with one gather.  Bit-identical to the plain path (the table
+    carries the same freeze-on-empty semantics).
     Returns (sp, ep) uint32 lanes.
 
-    All lanes run max_len steps; lanes whose slice is shorter idle on a
+    All lanes run the remaining steps; lanes whose slice is shorter idle on a
     masked no-op.  Empty intervals propagate unchanged (occ(sp)==occ(ep)).
     """
     m = patterns.shape[-1]
     lens = ends - starts
     if max_len is None:
         max_len = m
+    k = dix.klt_k if end_kmers is not None else 0
+    if k >= max_len:   # table deeper than any slice: plain path
+        k = 0
     sp0 = jnp.zeros(starts.shape, U32)
     ep0 = jnp.broadcast_to(dix.n[block.astype(jnp.int32)], starts.shape).astype(U32)
 
-    def step(t, st):
-        sp, ep = st
-        j = jnp.clip(ends - 1 - t, 0, m - 1)
-        active = (t < lens) & (ep > sp)  # freeze empty intervals (host parity)
-        c = jnp.take_along_axis(patterns, j[..., None], axis=-1)[..., 0]
-        nsp, nep = extend_backward(dix, block, sp, ep, c.astype(U32))
-        return (jnp.where(active, nsp, sp), jnp.where(active, nep, ep))
+    def make_step(phase_mask=None):
+        def step(t, st):
+            sp, ep = st
+            j = jnp.clip(ends - 1 - t, 0, m - 1)
+            active = (t < lens) & (ep > sp)   # freeze empties (host parity)
+            if phase_mask is not None:
+                active = active & phase_mask
+            c = jnp.take_along_axis(patterns, j[..., None], axis=-1)[..., 0]
+            nsp, nep = extend_backward(dix, block, sp, ep, c.astype(U32))
+            return (jnp.where(active, nsp, sp), jnp.where(active, nep, ep))
+        return step
 
-    return jax.lax.fori_loop(0, max_len, step, (sp0, ep0))
+    if k == 0:
+        return jax.lax.fori_loop(0, max_len, make_step(), (sp0, ep0))
+
+    short = lens < k
+    sp_t, ep_t = klt_lookup(dix, block, end_kmers)
+
+    # phase A: only short lanes walk their (< k) chars; runs at all only
+    # when a short lane exists in the batch (rare: reads < num_seeds * k bp)
+    def phase_a(st):
+        return jax.lax.fori_loop(0, k, make_step(short), st)
+
+    sp_a, ep_a = jax.lax.cond(jnp.any(short), phase_a, lambda st: st,
+                              (sp0, ep0))
+    sp1 = jnp.where(short, sp_a, sp_t)
+    ep1 = jnp.where(short, ep_a, ep_t)
+
+    # phase B: steps k..max_len (short lanes are already past their length)
+    return jax.lax.fori_loop(k, max_len, make_step(), (sp1, ep1))

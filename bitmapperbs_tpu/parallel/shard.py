@@ -75,9 +75,12 @@ def upload_index_sharded(idx: BSIndex, mesh: Mesh,
         sa_samples=sa_d,
         n=jax.device_put(host.n, rep),
         g_planes=gp_d,
+        klt=jax.device_put(host.klt, rep),  # small table: always replicated
         rows_max=rows_max,
         genome_len=host.genome_len,
         samples_max=samples_max,
+        sa_rate=host.sa_rate,
+        klt_k=host.klt_k,
         idx_axis=idx_axis,
     )
 
@@ -86,13 +89,15 @@ def _dix_specs(dix: DeviceIndex, idx_axis: str | None):
     if idx_axis is None:
         return DeviceIndex(
             cp_rows=P(), cbase=P(), sa_samples=P(), n=P(), g_planes=P(),
-            rows_max=dix.rows_max, genome_len=dix.genome_len,
-            samples_max=dix.samples_max, idx_axis=None)
+            klt=P(), rows_max=dix.rows_max, genome_len=dix.genome_len,
+            samples_max=dix.samples_max, sa_rate=dix.sa_rate,
+            klt_k=dix.klt_k, idx_axis=None)
     return DeviceIndex(
         cp_rows=P(idx_axis, None), cbase=P(), sa_samples=P(idx_axis),
-        n=P(), g_planes=P(None, None, idx_axis),
+        n=P(), g_planes=P(None, None, idx_axis), klt=P(),
         rows_max=dix.rows_max, genome_len=dix.genome_len,
-        samples_max=dix.samples_max, idx_axis=idx_axis)
+        samples_max=dix.samples_max, sa_rate=dix.sa_rate,
+        klt_k=dix.klt_k, idx_axis=idx_axis)
 
 
 def make_sharded_se_mapper(cfg: AlignerConfig, mesh: Mesh,

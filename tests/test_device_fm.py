@@ -76,3 +76,56 @@ def test_search_parity(setup, rng):
         wsp, wep = packed.count(idx.blocks[blocks[k]],
                                 pats[k, starts[k]:ends[k]])
         assert (int(sp[k]), int(ep[k])) == (wsp, wep), k
+
+
+def test_klt_exact_vs_plain(setup, rng):
+    """KLT-initialized search is bit-identical to the plain serial loop,
+    including short slices (< klt_k) and empty intervals (freeze parity)."""
+    import jax.numpy as jnp
+    from bitmapperbs_tpu.ops import fm
+    idx, dix = setup
+    assert dix.klt_k > 0
+    m, nseeds = 64, 60
+    conv = dna.ct_convert(idx.genome.codes)
+    pats, starts, ends, blocks = [], [], [], []
+    for t in range(nseeds):
+        pos = int(rng.integers(300, 2500))
+        p = conv[pos:pos + m].copy()
+        if t % 3 == 0:  # inject mismatches so some intervals empty mid-seed
+            p[rng.integers(0, m, 3)] = rng.integers(1, 4, 3)
+        pats.append(p)
+        s = int(rng.integers(0, m - 24))
+        starts.append(s)
+        # lengths straddling klt_k: shorter, equal, and longer slices
+        ends.append(s + int(rng.integers(2, 25)))
+        blocks.append(int(rng.integers(0, 2)))
+    pats = np.stack(pats)
+    args = (jnp.asarray(blocks, np.int32), jnp.asarray(pats),
+            jnp.asarray(starts, np.int32), jnp.asarray(ends, np.int32))
+    sp0, ep0 = fm.search_patterns(dix, *args, max_len=25)
+    km = fm.rolling_kmers(jnp.asarray(pats), dix.klt_k)
+    ek = jnp.take_along_axis(
+        km, jnp.clip(jnp.asarray(ends, np.int32) - 1, 0, m - 1)[:, None],
+        axis=-1)[:, 0]
+    sp1, ep1 = fm.search_patterns(dix, *args, max_len=25, end_kmers=ek)
+    np.testing.assert_array_equal(np.asarray(sp0), np.asarray(sp1))
+    np.testing.assert_array_equal(np.asarray(ep0), np.asarray(ep1))
+
+
+def test_klt_entries_match_count(setup, rng):
+    """Table entries equal a fresh backward search of the k-mer itself."""
+    idx, _ = setup
+    b = idx.blocks[0]
+    k = b.klt_k
+    for _ in range(50):
+        digits = rng.integers(0, 3, k)
+        kmer = (digits + 1).astype(np.uint8)   # codes 1..3
+        # build_klt convention: step t consumes position end-1-t, i.e. the
+        # pattern read right-to-left; digit t is pattern[k-1-t] - 1
+        idx3 = int(sum(int(d) * 3 ** t for t, d in enumerate(digits[::-1])))
+        wsp, wep = packed.count(b, kmer)
+        got = b.klt[idx3]
+        if wsp >= wep:
+            assert got[0] >= got[1]
+        else:
+            assert (int(got[0]), int(got[1])) == (wsp, wep)
