@@ -34,6 +34,16 @@ class AlignerConfig:
     mesh_axes: tuple[str, ...] = ("data",)
     use_pallas: bool = True      # False -> pure-jnp kernels (CPU tests)
 
+    # --- compacted candidate pipeline ---------------------------------------
+    # The locate/verify stages run over a flat buffer holding only OCCUPIED
+    # candidate slots (batch-wide), instead of dense (B, F, budget) grids
+    # sized for the worst case -- measured ~20x slot waste on typical reads.
+    # Results are bit-identical to the dense path unless the flat buffer
+    # overflows (reported per read as `gdrop`; the host then re-runs those
+    # reads through the dense path, keeping output deterministic).
+    compact: bool = True
+    locate_flat_cap: int = 16    # flat slots per read (buffer = B * this)
+
     # --- output ------------------------------------------------------------
     report_ambiguous: bool = True   # emit MAPQ-0 record vs suppress
     sam_rg: str | None = None
@@ -57,3 +67,5 @@ class AlignerConfig:
             raise ValueError("min_insert > max_insert")
         if self.read_len_bucket % 32 != 0:
             raise ValueError("read_len_bucket must be a multiple of 32")
+        if self.locate_flat_cap < 1:
+            raise ValueError("locate_flat_cap must be >= 1")

@@ -65,23 +65,12 @@ def _seed_bounds(lengths, num_seeds: int):
     return starts, ends
 
 
-def candidate_grids(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths,
-                    frames: tuple[tuple[int, int], ...]):
-    """Stages convert..verify for the given static frame list.
-
-    Returns a dict of (B, F, Kc) grids: score (int32, INF = invalid),
-    fwd (uint32 fwd-genome anchor), frame_a (uint32 frame anchor),
-    bp (int32 block*2+pat), plus overflow bool[B] and frame_reads.
-    """
+def _seed_stage(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths,
+                frames: tuple[tuple[int, int], ...]):
+    """Shared convert + seed stages: returns frame tables and seed (sp, ep)."""
     B, m = reads.shape
-    e = cfg.max_errors
     S = cfg.num_seeds
-    O = cfg.max_seed_occ
-    LB = cfg.locate_budget
-    Kc = cfg.max_candidates
     F = len(frames)
-    Wd = m // 32
-    L = dix.genome_len
 
     conv = jnp.asarray(K.CONV_MAP, dtype=jnp.uint8)
     rc = _revcomp_padded(reads, lengths)
@@ -107,6 +96,36 @@ def candidate_grids(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths,
             idx_e[..., None], axis=-1)[..., 0]
     sp, ep = fm.search_patterns(dix, block_l, pat_l, starts_l, ends_l,
                                 max_len=max_seed_len, end_kmers=end_kmers)
+    return frame_reads, blocks, bp_codes, starts_l, sp, ep
+
+
+def candidate_grids(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths,
+                    frames: tuple[tuple[int, int], ...]):
+    """Stages convert..verify for the given static frame list.
+
+    Returns a dict of (B, F, Kc) grids: score (int32, INF = invalid),
+    fwd (uint32 fwd-genome anchor), frame_a (uint32 frame anchor),
+    bp (int32 block*2+pat), plus overflow bool[B], gdrop bool[B] (flat-
+    buffer overflow; always False on this dense path) and frame_reads.
+
+    This is the DENSE reference implementation (the spec): every stage runs
+    over worst-case (B, F, budget) grids.  candidate_grids_compact produces
+    identical grids over occupied slots only; this path remains the
+    correctness oracle and the host's fallback when the flat buffer drops
+    entries (cfg.compact / gdrop).
+    """
+    B, m = reads.shape
+    e = cfg.max_errors
+    S = cfg.num_seeds
+    O = cfg.max_seed_occ
+    LB = cfg.locate_budget
+    Kc = cfg.max_candidates
+    F = len(frames)
+    Wd = m // 32
+    L = dix.genome_len
+
+    frame_reads, blocks, bp_codes, starts_l, sp, ep = _seed_stage(
+        dix, cfg, reads, lengths, frames)
 
     # ---- expansion into the locate grid (seed-order truncation at LB) -----
     cnt_u = ep - sp
@@ -196,8 +215,178 @@ def candidate_grids(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths,
 
     return {
         "score": score, "fwd": fwd, "frame_a": frame_a, "bp": bp,
-        "overflow": overflow.any(axis=-1), "frame_reads": frame_reads,
+        "overflow": overflow.any(axis=-1),
+        "gdrop": jnp.zeros(B, jnp.bool_),
+        "frame_reads": frame_reads,
     }
+
+
+def _shift_planes(planes, e: int, Wd: int):
+    """(..., Ww>=Wd+1) plane words starting at (anchor - e) -> the (..., Wd)
+    words starting at anchor, by an e-bit (< 32) right funnel shift.  Yields
+    exactly window_planes(anchor, Wd): oob/N marking is per-position."""
+    if e == 0:
+        return tuple(p[..., :Wd] for p in planes)
+    sh = U32(e)
+    ish = U32(32 - e)
+    return tuple((p[..., :Wd] >> sh) | (p[..., 1:Wd + 1] << ish)
+                 for p in planes)
+
+
+def _peq_from_planes(d0, d1, dn, pad):
+    """verify.build_peq computed from already-packed read planes (so the
+    compact path gathers 3 plane words per lane instead of a 4xWd table)."""
+    is_a = ~d0 & ~d1 & ~dn
+    is_c = d0 & ~d1 & ~dn
+    is_g = ~d0 & d1 & ~dn
+    is_t = d0 & d1 & ~dn
+    return jnp.stack([is_a | pad, is_c | is_t | pad, is_g | pad, is_t | pad],
+                     axis=-2)
+
+
+def candidate_grids_compact(dix: DeviceIndex, cfg: AlignerConfig, reads,
+                            lengths, frames: tuple[tuple[int, int], ...]):
+    """candidate_grids over a FLAT buffer of occupied slots.
+
+    The dense path sizes every stage for the worst case (LB locate slots and
+    Kc verify slots per (read, frame)) while the average occupancy is a few
+    candidates per read, so locate/verify burn ~10-20x their useful gather
+    and DP work.  Here the (read, frame, seed) occurrence lists are flattened
+    batch-wide into CAP = B * cfg.locate_flat_cap slots (slot -> seed via
+    searchsorted on the per-frame cumulative counts -- no giant scatter),
+    located, deduped with one 2-key sort, verified, and scattered back into
+    the dense (B, F, Kc) grids consumers expect.
+
+    Bit-identical to the dense path for every read whose frames fit the flat
+    buffer; reads with dropped entries are flagged in `gdrop` and must be
+    re-run dense by the host (models/host.py) to stay deterministic across
+    batch compositions and shardings.
+    """
+    B, m = reads.shape
+    e = cfg.max_errors
+    S = cfg.num_seeds
+    O = cfg.max_seed_occ
+    LB = cfg.locate_budget
+    Kc = cfg.max_candidates
+    F = len(frames)
+    Wd = m // 32
+    L = dix.genome_len
+    R = B * F
+    CAP = B * cfg.locate_flat_cap
+
+    frame_reads, blocks, bp_codes, starts_l, sp, ep = _seed_stage(
+        dix, cfg, reads, lengths, frames)
+
+    # ---- flat expansion: slot -> (frame, seed, offset) via searchsorted ----
+    cnt_u = ep - sp
+    seed_ok = (cnt_u > 0) & (cnt_u <= O)
+    cnt = jnp.where(seed_ok, cnt_u, 0).astype(jnp.int32)         # B,F,S
+    cum = jnp.cumsum(cnt, axis=-1)                               # inclusive
+    total = cum[..., -1]                                         # B,F
+    frame_occ = jnp.minimum(total, LB).reshape(R)                # R
+    frame_base = jnp.cumsum(frame_occ) - frame_occ               # R, exclusive
+    overflow = total > LB                                        # B,F
+    gdrop = ((frame_base + frame_occ > CAP).reshape(B, F)
+             & (frame_occ.reshape(B, F) > 0)).any(axis=-1)       # B
+
+    g = jnp.arange(CAP, dtype=jnp.int32)
+    fidx = jnp.searchsorted(frame_base, g, side="right").astype(jnp.int32) - 1
+    lslot = g - frame_base[fidx]
+    ok = lslot < frame_occ[fidx]
+    cum_f = cum.reshape(R, S)[fidx]                              # CAP,S
+    s_idx = jnp.minimum((cum_f <= lslot[:, None]).sum(-1), S - 1
+                        ).astype(jnp.int32)
+    cum_prev = jnp.where(
+        s_idx > 0,
+        jnp.take_along_axis(cum_f, jnp.maximum(s_idx - 1, 0)[:, None],
+                            axis=-1)[..., 0], 0)
+    within = (lslot - cum_prev).astype(jnp.int32)
+    flat_fs = fidx * S + s_idx
+    sa_row = sp.reshape(-1)[flat_fs] + within.astype(U32)
+    st = starts_l.reshape(-1)[flat_fs]
+    blk = blocks[fidx % F]
+    read_b = fidx // F
+    len_b = lengths[read_b]
+
+    # ---- locate + anchor projection ----------------------------------------
+    tp = fm.locate(dix, blk, sa_row, ok)
+    anchor = tp - st.astype(U32)
+    n_lane = dix.n[blk]
+    a_ok = ok & (tp >= st.astype(U32)) & (
+        anchor <= n_lane - 1 - len_b.astype(U32))
+    anchor = jnp.where(a_ok, anchor, INVALID)
+
+    # ---- dedup: one flat 2-key sort + per-frame unique rank ----------------
+    key_row = jnp.where(a_ok, fidx, R)
+    rowS, anchS = jax.lax.sort((key_row, anchor), num_keys=2)
+    validS = rowS < R
+    first = jnp.concatenate([
+        jnp.ones(1, jnp.bool_),
+        (rowS[1:] != rowS[:-1]) | (anchS[1:] != anchS[:-1])])
+    uniq = validS & first
+    s_in = jnp.cumsum(uniq.astype(jnp.int32))
+    s_excl = s_in - uniq
+    seg_first = jnp.full(R + 1, 1 << 30, jnp.int32).at[rowS].min(s_excl)
+    rank = s_excl - seg_first[jnp.minimum(rowS, R)]
+    nuniq = jnp.zeros(R + 1, jnp.int32).at[rowS].add(uniq.astype(jnp.int32))
+    overflow = overflow | (nuniq[:R].reshape(B, F) > Kc)
+    keep = uniq & (rank < Kc)
+
+    # ---- verification on the flat (sorted) lanes ---------------------------
+    rowC = jnp.minimum(rowS, R - 1)
+    blkS = blocks[rowC % F]
+    cand = jnp.where(keep, anchS, 0)
+
+    planes3 = jnp.stack(verify.pack_codes(frame_reads), axis=2)  # B,F,3,Wd
+    rp = planes3.reshape(R, 3, Wd)[rowC]                          # CAP,3,Wd
+    d0, d1, dn = rp[:, 0], rp[:, 1], rp[:, 2]
+    padv = ~verify.length_mask(lengths, m)[rowC // F]             # CAP,Wd
+    lenmask = ~padv
+
+    if cfg.indels and e > 0:
+        ncols = m + 2 * e
+        Ww = -(-ncols // 32)                                      # == Wd + 1
+        wide = verify.window_planes(dix.g_planes, blkS, cand - U32(e),
+                                    Ww, L, dix.idx_axis)
+        ham = verify.hamming(_shift_planes(wide, e, Wd), (d0, d1, dn),
+                             lenmask)
+        peq = _peq_from_planes(d0, d1, dn, padv)
+        med = myers_fn(cfg)(wide, peq, padv, m, ncols)
+        score = jnp.where(ham <= e, ham, med)
+    else:
+        ref = verify.window_planes(dix.g_planes, blkS, cand, Wd, L,
+                                   dix.idx_axis)
+        score = verify.hamming(ref, (d0, d1, dn), lenmask)
+    score = jnp.where(keep & (score <= e), score, INF)
+
+    # ---- scatter back into the dense (B, F, Kc) grids ----------------------
+    dst = jnp.where(keep, rowS * Kc + rank, R * Kc)
+    score_d = jnp.full(R * Kc + 1, INF, jnp.int32).at[dst].set(
+        score, mode="drop")[:-1].reshape(B, F, Kc)
+    cand_d = jnp.full(R * Kc + 1, INVALID, U32).at[dst].set(
+        anchS, mode="drop")[:-1].reshape(B, F, Kc)
+
+    fwd = jnp.where(
+        jnp.asarray([b for _, b in frames], jnp.int32)[None, :, None]
+        == K.BLOCK_FWD,
+        cand_d,
+        U32(L) - cand_d - lengths[:, None, None].astype(U32))
+    fwd = jnp.where(score_d < INF, fwd, INVALID)
+    frame_a = jnp.where(score_d < INF, cand_d, INVALID)
+    bp = jnp.broadcast_to(bp_codes[None, :, None], (B, F, Kc))
+
+    return {
+        "score": score_d, "fwd": fwd, "frame_a": frame_a, "bp": bp,
+        "overflow": overflow.any(axis=-1), "gdrop": gdrop,
+        "frame_reads": frame_reads,
+    }
+
+
+def candidate_stage(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths,
+                    frames: tuple[tuple[int, int], ...]):
+    """Dispatch: compacted pipeline (default) or dense reference path."""
+    fn = candidate_grids_compact if cfg.compact else candidate_grids
+    return fn(dix, cfg, reads, lengths, frames)
 
 
 def select_se(grids, e: int):
@@ -227,6 +416,7 @@ def select_se(grids, e: int):
         "best_anchor": fa_best,
         "second_score": s_second,
         "overflow": grids["overflow"],
+        "gdrop": grids["gdrop"],
     }
 
 
@@ -240,6 +430,7 @@ def map_batch_device(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths):
       best_anchor  uint32[B]  frame-local anchor
       second_score int32[B]   (INF when no distinct-locus second)
       overflow     bool[B]    any capacity truncation occurred
+      gdrop        bool[B]    flat-buffer drop: host must re-run dense
     """
-    grids = candidate_grids(dix, cfg, reads, lengths, tuple(frames_for(cfg)))
+    grids = candidate_stage(dix, cfg, reads, lengths, tuple(frames_for(cfg)))
     return select_se(grids, cfg.max_errors)

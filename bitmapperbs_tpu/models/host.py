@@ -73,6 +73,7 @@ def map_batch_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
         arr, lengths = prepare_batch(chunk, m_pad, batch=min(bs, len(chunk)))
         out = map_batch_device(dix, cfg, jnp.asarray(arr),
                                jnp.asarray(lengths))
+        out = _gdrop_fallback_se(dix, cfg, arr, lengths, out)
         hits = device_results_to_hits(cfg, idx.genome.length, lengths, out)
         for i, (best, second) in enumerate(hits[:len(chunk)]):
             read = np.asarray(chunk[i], dtype=np.uint8)
@@ -85,6 +86,34 @@ def map_batch_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
                 rec = unmapped_record(qname, read, qual)
             out_recs.append(rec)
     return out_recs
+
+
+def _merge_where(sel, dense, fast):
+    """Per-read merge of (possibly nested) device output dicts."""
+    out = {}
+    for k, v in fast.items():
+        if isinstance(v, dict):
+            out[k] = _merge_where(sel, dense[k], v)
+        else:
+            out[k] = np.where(sel, np.asarray(dense[k]), np.asarray(v))
+    return out
+
+
+def _gdrop_fallback_se(dix, cfg: AlignerConfig, arr, lengths, out):
+    """Re-run flat-buffer-overflow reads through the dense path.
+
+    The compacted pipeline (aligner.candidate_grids_compact) drops candidate
+    entries batch-dependently when its flat buffer fills; to keep output
+    deterministic across batch compositions and shardings, every flagged
+    read's result is replaced by the dense path's (the spec).  Unflagged
+    reads are bit-identical between the two, so merging per read is exact.
+    """
+    gdrop = np.asarray(out["gdrop"])
+    if not (cfg.compact and gdrop.any()):
+        return out
+    dense = map_batch_device(dix, cfg.replace(compact=False),
+                             jnp.asarray(arr), jnp.asarray(lengths))
+    return _merge_where(gdrop, dense, out)
 
 
 # --------------------------------------------------------------------------
@@ -114,6 +143,12 @@ def map_batch_pe_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
         host = {k: (np.asarray(v) if not isinstance(v, dict)
                     else {kk: np.asarray(vv) for kk, vv in v.items()})
                 for k, v in out.items()}
+        gdrop = host["gdrop"]
+        if cfg.compact and gdrop.any():
+            dense = map_batch_pe_device(
+                dix, cfg.replace(compact=False), jnp.asarray(a1),
+                jnp.asarray(l1), jnp.asarray(a2), jnp.asarray(l2))
+            host = _merge_where(gdrop, dense, host)
         for i in range(len(chunk)):
             reads = (np.asarray(chunk[i][0], np.uint8),
                      np.asarray(chunk[i][1], np.uint8))

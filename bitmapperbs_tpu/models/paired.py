@@ -21,7 +21,7 @@ from bitmapperbs_tpu import constants as K
 from bitmapperbs_tpu.config import AlignerConfig
 from bitmapperbs_tpu.index.device import DeviceIndex
 from bitmapperbs_tpu.models.aligner import (INF, INVALID, U32,
-                                            candidate_grids, select_se)
+                                            candidate_stage, select_se)
 from bitmapperbs_tpu.oracle.pipeline import se_frames
 from bitmapperbs_tpu.ops import verify
 
@@ -60,8 +60,8 @@ def map_batch_pe_device(dix: DeviceIndex, cfg: AlignerConfig,
     frames1 = tuple(se_frames(cfg, mate=0))
     frames2 = tuple(se_frames(cfg, mate=1))
 
-    g1 = candidate_grids(dix, cfg, reads1, lengths1, frames1)
-    g2 = candidate_grids(dix, cfg, reads2, lengths2, frames2)
+    g1 = candidate_stage(dix, cfg, reads1, lengths1, frames1)
+    g2 = candidate_stage(dix, cfg, reads2, lengths2, frames2)
     m1u = lengths1.astype(U32)
     m2u = lengths2.astype(U32)
 
@@ -202,6 +202,7 @@ def map_batch_pe_device(dix: DeviceIndex, cfg: AlignerConfig,
 
     return {
         "pair_valid": pair_valid,
+        "gdrop": g1["gdrop"] | g2["gdrop"],
         "pair_sum": psum, "pair_second_sum": second_sum,
         "pair_a1": pa1, "pair_bp1": pbp1,
         "pair_a2": pa2, "pair_bp2": pbp2,

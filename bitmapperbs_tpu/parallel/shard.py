@@ -116,7 +116,7 @@ def make_sharded_se_mapper(cfg: AlignerConfig, mesh: Mesh,
         in_specs=(specs, P("data", None), P("data")),
         out_specs={k: out_spec for k in
                    ("best_score", "best_bp", "best_anchor",
-                    "second_score", "overflow")},
+                    "second_score", "overflow", "gdrop")},
         check_vma=False,
     )
     return jax.jit(fn)

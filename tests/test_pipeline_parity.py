@@ -82,3 +82,50 @@ def test_repeats_and_ambiguity_parity():
     cfg = AlignerConfig(max_errors=2, indels=True, read_len_bucket=64,
                         batch_size=60)
     _compare(idx, dix, cfg, sims)
+
+
+def test_compact_vs_dense_grids(setup):
+    """Compacted candidate pipeline is bit-identical to the dense spec path
+    (same grids, not just same selection), including overflow flags."""
+    import jax.numpy as jnp
+    from bitmapperbs_tpu.models import aligner
+    from bitmapperbs_tpu.models.host import prepare_batch
+    idx, dix = setup
+    rng = np.random.default_rng(11)
+    sims = simulate_reads(idx.genome, 64, read_len=90, seed=36,
+                          sub_rate=0.02, indel_rate=0.01)
+    reads = [s.codes for s in sims]
+    for s, cut in zip(sims, rng.integers(40, 91, len(sims))):
+        s.codes = s.codes[:cut]
+    for nd, indels in ((False, True), (True, True), (False, False)):
+        cfg = AlignerConfig(max_errors=4, indels=indels, non_directional=nd,
+                            read_len_bucket=96, batch_size=64)
+        arr, lengths = prepare_batch(reads, 96, 64)
+        frames = tuple(aligner.frames_for(cfg))
+        gd = aligner.candidate_grids(dix, cfg, jnp.asarray(arr),
+                                     jnp.asarray(lengths), frames)
+        gc = aligner.candidate_grids_compact(dix, cfg, jnp.asarray(arr),
+                                             jnp.asarray(lengths), frames)
+        assert not np.asarray(gc["gdrop"]).any()
+        for k in ("score", "fwd", "frame_a", "bp", "overflow"):
+            np.testing.assert_array_equal(np.asarray(gd[k]),
+                                          np.asarray(gc[k]), err_msg=k)
+
+
+def test_gdrop_fallback_sam_equal(setup):
+    """A tiny flat buffer forces gdrop; the host fallback restores exact
+    dense/oracle SAM for the flagged reads."""
+    import jax.numpy as jnp
+    from bitmapperbs_tpu.models.aligner import map_batch_device
+    idx, dix = setup
+    sims = simulate_reads(idx.genome, 40, read_len=90, seed=37, sub_rate=0.01)
+    reads = [s.codes for s in sims]
+    cfg = AlignerConfig(max_errors=3, indels=True, read_len_bucket=96,
+                        batch_size=40, locate_flat_cap=1)
+    from bitmapperbs_tpu.models.host import prepare_batch
+    arr, lengths = prepare_batch(reads, 96, 40)
+    out = map_batch_device(dix, cfg, jnp.asarray(arr), jnp.asarray(lengths))
+    assert np.asarray(out["gdrop"]).any()  # cap=1 must overflow somewhere
+    oracle = [r.line() for r in map_batch_se(idx, cfg, reads)]
+    device = [r.line() for r in map_batch_tpu(idx, dix, cfg, reads)]
+    assert oracle == device
