@@ -46,11 +46,13 @@ def main():
     out = map_batch_device(dix, cfg, arr_d, len_d)
     jax.block_until_ready(out)
 
-    iters = 3
+    # steady-state throughput: batches dispatched back-to-back (JAX async
+    # dispatch overlaps host work and device compute, exactly like the
+    # streaming host pipeline models/host.py), one sync at the end.
+    iters = 8
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = map_batch_device(dix, cfg, arr_d, len_d)
-        jax.block_until_ready(out)
+    outs = [map_batch_device(dix, cfg, arr_d, len_d) for _ in range(iters)]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / iters
     device_rps = batch / dt
 

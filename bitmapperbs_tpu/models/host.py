@@ -59,20 +59,26 @@ def device_results_to_hits(cfg: AlignerConfig, genome_len: int, lengths,
     return res
 
 
+MAX_INFLIGHT = 3  # device batches dispatched ahead of host finalize
+
+
 def map_batch_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
                   reads, quals=None, qnames=None) -> list[SamRecord]:
-    """End-to-end device mapping of a list of reads -> SAM records."""
+    """End-to-end device mapping of a list of reads -> SAM records.
+
+    Batches are dispatched ahead of host-side finalization (JAX async
+    dispatch; SURVEY.md hard-part 7: host I/O must overlap device compute),
+    with a bounded in-flight window; output order is preserved.
+    """
     quals = quals or [""] * len(reads)
     qnames = qnames or [f"r{i}" for i in range(len(reads))]
     rc_ref = dna.revcomp(idx.genome.codes)
     m_pad = cfg.read_len_bucket
     out_recs: list[SamRecord] = []
     bs = cfg.batch_size
-    for lo in range(0, len(reads), bs):
-        chunk = reads[lo:lo + bs]
-        arr, lengths = prepare_batch(chunk, m_pad, batch=min(bs, len(chunk)))
-        out = map_batch_device(dix, cfg, jnp.asarray(arr),
-                               jnp.asarray(lengths))
+
+    def drain(item):
+        lo, chunk, arr, lengths, out = item
         out = _gdrop_fallback_se(dix, cfg, arr, lengths, out)
         hits = device_results_to_hits(cfg, idx.genome.length, lengths, out)
         for i, (best, second) in enumerate(hits[:len(chunk)]):
@@ -85,6 +91,18 @@ def map_batch_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
             if rec is None:
                 rec = unmapped_record(qname, read, qual)
             out_recs.append(rec)
+
+    pending = []
+    for lo in range(0, len(reads), bs):
+        chunk = reads[lo:lo + bs]
+        arr, lengths = prepare_batch(chunk, m_pad, batch=min(bs, len(chunk)))
+        out = map_batch_device(dix, cfg, jnp.asarray(arr),
+                               jnp.asarray(lengths))   # async dispatch
+        pending.append((lo, chunk, arr, lengths, out))
+        if len(pending) >= MAX_INFLIGHT:
+            drain(pending.pop(0))
+    for item in pending:
+        drain(item)
     return out_recs
 
 
@@ -133,13 +151,9 @@ def map_batch_pe_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
     L = idx.genome.length
     out_recs: list[SamRecord] = []
     bs = cfg.batch_size
-    for lo in range(0, len(pairs), bs):
-        chunk = pairs[lo:lo + bs]
-        B = min(bs, len(chunk))
-        a1, l1 = prepare_batch([p[0] for p in chunk], m_pad, B)
-        a2, l2 = prepare_batch([p[1] for p in chunk], m_pad, B)
-        out = map_batch_pe_device(dix, cfg, jnp.asarray(a1), jnp.asarray(l1),
-                                  jnp.asarray(a2), jnp.asarray(l2))
+
+    def drain(item):
+        lo, chunk, a1, l1, a2, l2, out = item
         host = {k: (np.asarray(v) if not isinstance(v, dict)
                     else {kk: np.asarray(vv) for kk, vv in v.items()})
                 for k, v in out.items()}
@@ -156,6 +170,20 @@ def map_batch_pe_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
             qn = qnames[lo + i] if qnames else f"p{lo + i}"
             out_recs.extend(_assemble_pair(idx, rc_ref, cfg, reads, q, qn,
                                            host, i, L, e, opaired, K2))
+
+    pending = []
+    for lo in range(0, len(pairs), bs):
+        chunk = pairs[lo:lo + bs]
+        B = min(bs, len(chunk))
+        a1, l1 = prepare_batch([p[0] for p in chunk], m_pad, B)
+        a2, l2 = prepare_batch([p[1] for p in chunk], m_pad, B)
+        out = map_batch_pe_device(dix, cfg, jnp.asarray(a1), jnp.asarray(l1),
+                                  jnp.asarray(a2), jnp.asarray(l2))
+        pending.append((lo, chunk, a1, l1, a2, l2, out))
+        if len(pending) >= MAX_INFLIGHT:
+            drain(pending.pop(0))
+    for item in pending:
+        drain(item)
     return out_recs
 
 
