@@ -248,10 +248,18 @@ class BSIndex:
 INDEX_VERSION = 3
 
 
-def build_index(fasta, sa_rate: int = K.DEFAULT_SA_RATE,
+def build_index(fasta, sa_rate: int | None = None,
                 klt_k: int | None = None) -> BSIndex:
-    """FASTA -> BSIndex (SURVEY.md call stack 3.1)."""
+    """FASTA -> BSIndex (SURVEY.md call stack 3.1).
+
+    sa_rate default is genome-size-adaptive: small genomes afford dense SA
+    samples (rate 4: half the locate LF gathers for 1 byte/position/block);
+    large ones use DEFAULT_SA_RATE to bound sample memory (GRCh38 two-block
+    samples at rate 8 ~= 3.1 GB).
+    """
     genome = parse_fasta(fasta)
+    if sa_rate is None:
+        sa_rate = 4 if len(genome.codes) <= 1 << 27 else K.DEFAULT_SA_RATE
     ct_fwd = dna.ct_convert(genome.codes)
     ct_rc = dna.ct_convert(dna.revcomp(genome.codes))
     if klt_k is None:

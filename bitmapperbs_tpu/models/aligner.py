@@ -277,11 +277,17 @@ def candidate_grids_compact(dix: DeviceIndex, cfg: AlignerConfig, reads,
     frame_reads, blocks, bp_codes, starts_l, sp, ep = _seed_stage(
         dix, cfg, reads, lengths, frames)
 
-    # ---- flat expansion: slot -> (frame, seed, offset) via searchsorted ----
+    # ---- flat expansion: slot -> (frame, seed, offset) -------------------
+    # Each (frame, seed) with kept occurrences owns a contiguous RUN of flat
+    # slots.  One scatter marks every run's start slot with its (frame, seed)
+    # code and global start, and a cummax propagates them across the packed
+    # buffer -- cheaper than per-slot searchsorted + cumulative-row gathers
+    # (runs' codes are monotone over the buffer, so cummax is exact).
     cnt_u = ep - sp
     seed_ok = (cnt_u > 0) & (cnt_u <= O)
     cnt = jnp.where(seed_ok, cnt_u, 0).astype(jnp.int32)         # B,F,S
     cum = jnp.cumsum(cnt, axis=-1)                               # inclusive
+    offs = (cum - cnt).reshape(R, S)                             # exclusive
     total = cum[..., -1]                                         # B,F
     frame_occ = jnp.minimum(total, LB).reshape(R)                # R
     frame_base = jnp.cumsum(frame_occ) - frame_occ               # R, exclusive
@@ -289,21 +295,20 @@ def candidate_grids_compact(dix: DeviceIndex, cfg: AlignerConfig, reads,
     gdrop = ((frame_base + frame_occ > CAP).reshape(B, F)
              & (frame_occ.reshape(B, F) > 0)).any(axis=-1)       # B
 
+    src_ok = (cnt.reshape(R, S) > 0) & (offs < frame_occ[:, None])
+    gstart = frame_base[:, None] + offs                          # R,S
+    dst = jnp.where(src_ok, gstart, CAP).reshape(-1)
+    fs_code = (jnp.arange(R, dtype=jnp.int32)[:, None] * S
+               + jnp.arange(S, dtype=jnp.int32)).reshape(-1)
+    fs = jax.lax.cummax(
+        jnp.zeros(CAP + 1, jnp.int32).at[dst].max(fs_code)[:CAP])
+    gs = jax.lax.cummax(
+        jnp.zeros(CAP + 1, jnp.int32).at[dst].max(gstart.reshape(-1))[:CAP])
     g = jnp.arange(CAP, dtype=jnp.int32)
-    fidx = jnp.searchsorted(frame_base, g, side="right").astype(jnp.int32) - 1
-    lslot = g - frame_base[fidx]
-    ok = lslot < frame_occ[fidx]
-    cum_f = cum.reshape(R, S)[fidx]                              # CAP,S
-    s_idx = jnp.minimum((cum_f <= lslot[:, None]).sum(-1), S - 1
-                        ).astype(jnp.int32)
-    cum_prev = jnp.where(
-        s_idx > 0,
-        jnp.take_along_axis(cum_f, jnp.maximum(s_idx - 1, 0)[:, None],
-                            axis=-1)[..., 0], 0)
-    within = (lslot - cum_prev).astype(jnp.int32)
-    flat_fs = fidx * S + s_idx
-    sa_row = sp.reshape(-1)[flat_fs] + within.astype(U32)
-    st = starts_l.reshape(-1)[flat_fs]
+    ok = g < frame_base[-1] + frame_occ[-1]   # buffer is packed
+    sa_row = sp.reshape(-1)[fs] + (g - gs).astype(U32)
+    st = starts_l.reshape(-1)[fs]
+    fidx = fs // S
     blk = blocks[fidx % F]
     read_b = fidx // F
     len_b = lengths[read_b]
