@@ -101,9 +101,9 @@ DEFAULT_SA_RATE = 8
 # with ONE row gather instead of k serial occ gathers -- the single biggest
 # fixed cost in the seeding stage.  Entries store the same frozen-on-empty
 # semantics as the search loop, so KLT-initialized search is bit-identical.
-# k is a per-index build parameter; 13 -> 3^13 * 2 u32 = 12.8 MB per block
-# (each +1 of k trades ~4 MB/block of HBM for one serial occ gather per seed).
-KLT_MAX_K = 13
+# k is a per-index build parameter; 14 -> 3^14 * 2 u32 = 38 MB per block
+# (each +1 of k trades HBM and build time for one serial occ gather per seed).
+KLT_MAX_K = 14
 
 # ---- SAM flags --------------------------------------------------------------
 FLAG_PAIRED = 0x1

@@ -159,7 +159,7 @@ def candidate_grids(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths,
     block_lb = jnp.broadcast_to(blocks[None, :, None], (B, F, LB))
     tp = fm.locate(dix, block_lb, sa_grid, ok_grid)              # B,F,LB
     anchor = tp - st_grid.astype(U32)
-    n_lane = dix.n[block_lb]
+    n_lane = fm.block_n(dix, block_lb)
     a_ok = ok_grid & (tp >= st_grid.astype(U32)) & (
         anchor <= n_lane - 1 - lengths[:, None, None].astype(U32))
     anchor = jnp.where(a_ok, anchor, INVALID)
@@ -219,6 +219,16 @@ def candidate_grids(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths,
         "gdrop": jnp.zeros(B, jnp.bool_),
         "frame_reads": frame_reads,
     }
+
+
+def _blocks_select(frames, f):
+    """blocks[f] per lane as a static where-chain (frame blocks are static;
+    even a 4-entry table gather costs ~1 ms per call on TPU)."""
+    vals = [b for _, b in frames]
+    out = jnp.full(f.shape, vals[0], jnp.int32)
+    for k in range(1, len(vals)):
+        out = jnp.where(f == k, jnp.int32(vals[k]), out)
+    return out
 
 
 def _shift_planes(planes, e: int, Wd: int):
@@ -306,24 +316,31 @@ def candidate_grids_compact(dix: DeviceIndex, cfg: AlignerConfig, reads,
         jnp.zeros(CAP + 1, jnp.int32).at[dst].max(gstart.reshape(-1))[:CAP])
     g = jnp.arange(CAP, dtype=jnp.int32)
     ok = g < frame_base[-1] + frame_occ[-1]   # buffer is packed
-    sa_row = sp.reshape(-1)[fs] + (g - gs).astype(U32)
-    st = starts_l.reshape(-1)[fs]
+    # one stacked per-(frame,seed) table gather instead of three
+    len_bfs = jnp.broadcast_to(lengths[:, None, None], (B, F, S))
+    seed_tab = jnp.stack(
+        [sp.reshape(-1), starts_l.reshape(-1).astype(U32),
+         len_bfs.reshape(-1).astype(U32)], axis=-1)              # R*S, 3
+    picked = seed_tab[fs]
+    sa_row = picked[:, 0] + (g - gs).astype(U32)
+    st = picked[:, 1].astype(jnp.int32)
+    len_b = picked[:, 2].astype(jnp.int32)
     fidx = fs // S
-    blk = blocks[fidx % F]
-    read_b = fidx // F
-    len_b = lengths[read_b]
+    blk = _blocks_select(frames, fidx % F)
 
     # ---- locate + anchor projection ----------------------------------------
     tp = fm.locate(dix, blk, sa_row, ok)
     anchor = tp - st.astype(U32)
-    n_lane = dix.n[blk]
+    n_lane = fm.block_n(dix, blk)
     a_ok = ok & (tp >= st.astype(U32)) & (
         anchor <= n_lane - 1 - len_b.astype(U32))
     anchor = jnp.where(a_ok, anchor, INVALID)
 
     # ---- dedup: one flat 2-key sort + per-frame unique rank ----------------
+    # (read lengths ride along as a sort payload so the verify stage needs
+    # no per-lane length gather afterwards)
     key_row = jnp.where(a_ok, fidx, R)
-    rowS, anchS = jax.lax.sort((key_row, anchor), num_keys=2)
+    rowS, anchS, lenS = jax.lax.sort((key_row, anchor, len_b), num_keys=2)
     validS = rowS < R
     first = jnp.concatenate([
         jnp.ones(1, jnp.bool_),
@@ -339,14 +356,14 @@ def candidate_grids_compact(dix: DeviceIndex, cfg: AlignerConfig, reads,
 
     # ---- verification on the flat (sorted) lanes ---------------------------
     rowC = jnp.minimum(rowS, R - 1)
-    blkS = blocks[rowC % F]
+    blkS = _blocks_select(frames, rowC % F)
     cand = jnp.where(keep, anchS, 0)
 
     planes3 = jnp.stack(verify.pack_codes(frame_reads), axis=2)  # B,F,3,Wd
     rp = planes3.reshape(R, 3, Wd)[rowC]                          # CAP,3,Wd
     d0, d1, dn = rp[:, 0], rp[:, 1], rp[:, 2]
-    padv = ~verify.length_mask(lengths, m)[rowC // F]             # CAP,Wd
-    lenmask = ~padv
+    lenmask = verify.length_mask(lenS, m)                        # CAP,Wd
+    padv = ~lenmask
 
     if cfg.indels and e > 0:
         ncols = m + 2 * e

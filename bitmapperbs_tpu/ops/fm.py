@@ -33,19 +33,24 @@ def _popcount_sum(words):
     return jax.lax.population_count(words).sum(axis=-1, dtype=U32)
 
 
-def fetch_cp_rows(dix: DeviceIndex, row):
+def fetch_cp_rows(dix: DeviceIndex, row, width: int | None = None):
     """Gather checkpoint rows by GLOBAL flat row index.
+
+    width: only the first `width` u32 of each row are fetched (XLA narrows
+    the gather's slice size) -- occ/backward search needs the 12 count+plane
+    words, not the SA-mark tail, and TPU gather cost grows with row width.
 
     Replicated index: plain gather.  Sharded index (dix.idx_axis set): each
     device gathers its local range and the partial rows are psum-merged over
     the index axis (SURVEY.md 3.5: shard-local partials + collectives)."""
+    w = slice(None) if width is None else slice(0, width)
     if dix.idx_axis is None:
-        return dix.cp_rows[row]
+        return dix.cp_rows[row, w]
     shard_rows = dix.cp_rows.shape[0]
     base = (jax.lax.axis_index(dix.idx_axis) * shard_rows).astype(jnp.int32)
     local = row - base
     ok = (local >= 0) & (local < shard_rows)
-    got = dix.cp_rows[jnp.clip(local, 0, shard_rows - 1)]
+    got = dix.cp_rows[jnp.clip(local, 0, shard_rows - 1), w]
     got = jnp.where(ok[..., None], got, 0)
     return jax.lax.psum(got, dix.idx_axis)
 
@@ -63,13 +68,20 @@ def fetch_sa_samples(dix: DeviceIndex, flat_idx):
     return jax.lax.psum(jnp.where(ok, got, 0), dix.idx_axis)
 
 
+def block_n(dix: DeviceIndex, block):
+    """dix.n[block] via a 2-way select (tiny-table gathers cost ~1 ms/call)."""
+    return jnp.where(block == 0, dix.n[0], dix.n[1])
+
+
 def occ(dix: DeviceIndex, block, c, i):
     """# occurrences of symbol c in BWT_block[0:i). Lanes of (block, c, i)."""
     row = (i // K.CP_BLOCK).astype(jnp.int32) + block.astype(jnp.int32) * dix.rows_max
     within = i % K.CP_BLOCK
-    rows = fetch_cp_rows(dix, row)                # [..., CP_ROW_U32]
-    base = jnp.take_along_axis(rows[..., :_A], c.astype(jnp.int32)[..., None],
-                               axis=-1)[..., 0]
+    # NOTE: fetching full rows is deliberate -- a width-narrowed gather
+    # (rows[..., :12]) lowers to a pathologically slow XLA gather on TPU
+    # (measured 40x slower than the full-row gather; see PERF.md).
+    rows = fetch_cp_rows(dix, row)
+    base = _select_word(rows[..., :_A], c.astype(jnp.int32))
     p0 = rows[..., _A:_A + _W]
     p1 = rows[..., _A + _W:_A + 2 * _W]
     b0 = (U32(0) - (c.astype(U32) & 1))[..., None]
@@ -79,9 +91,14 @@ def occ(dix: DeviceIndex, block, c, i):
 
 
 def _cbase(dix: DeviceIndex, block, c):
-    """cbase[block, c] per lane via flat scalar gather."""
+    """cbase[block, c] per lane via an 8-way where-chain over the scalar
+    table (a per-lane gather, however tiny the table, costs ~1 ms/step)."""
+    code = block.astype(jnp.int32) * _A + c.astype(jnp.int32)
     flat = dix.cbase.reshape(-1)
-    return flat[block.astype(jnp.int32) * _A + c.astype(jnp.int32)]
+    out = jnp.broadcast_to(flat[0], code.shape)
+    for k in range(1, 2 * _A):
+        out = jnp.where(code == k, flat[k], out)
+    return out
 
 
 def extend_backward(dix: DeviceIndex, block, sp, ep, c):
@@ -122,10 +139,10 @@ def _mark_rank(dix: DeviceIndex, block, i):
 
 
 def _select_word(words, w):
-    """words[..., 0..3] selected by per-lane w in [0,4) via a where-chain
+    """words[..., k] selected by per-lane w via a where-chain
     (take_along_axis lowers to a slow per-element gather on TPU)."""
     out = words[..., 0]
-    for k in range(1, _W):
+    for k in range(1, words.shape[-1]):
         out = jnp.where(w == k, words[..., k], out)
     return out
 
@@ -140,7 +157,7 @@ def locate(dix: DeviceIndex, block, i, valid):
     loop.  Invalid lanes walk garbage safely.  Returns uint32 positions.
     """
     blk = block.astype(jnp.int32)
-    nmax = dix.n[blk]
+    nmax = block_n(dix, blk)
     i = jnp.minimum(jnp.where(valid, i, 0).astype(U32), nmax - 1)
     zeros = jnp.zeros_like(i)
 
@@ -240,22 +257,35 @@ def search_patterns(dix: DeviceIndex, block, patterns, starts, ends,
     if k >= max_len:   # table deeper than any slice: plain path
         k = 0
     sp0 = jnp.zeros(starts.shape, U32)
-    ep0 = jnp.broadcast_to(dix.n[block.astype(jnp.int32)], starts.shape).astype(U32)
+    ep0 = jnp.broadcast_to(block_n(dix, block), starts.shape).astype(U32)
 
-    def make_step(phase_mask=None):
+    def make_step(phase_mask=None, chars=None, t0=0):
         def step(t, st):
             sp, ep = st
-            j = jnp.clip(ends - 1 - t, 0, m - 1)
             active = (t < lens) & (ep > sp)   # freeze empties (host parity)
             if phase_mask is not None:
                 active = active & phase_mask
-            c = jnp.take_along_axis(patterns, j[..., None], axis=-1)[..., 0]
+            if chars is None:
+                j = jnp.clip(ends - 1 - t, 0, m - 1)
+                c = jnp.take_along_axis(patterns, j[..., None],
+                                        axis=-1)[..., 0]
+            else:
+                c = jax.lax.dynamic_index_in_dim(chars, t - t0, axis=-1,
+                                                 keepdims=False)
             nsp, nep = extend_backward(dix, block, sp, ep, c.astype(U32))
             return (jnp.where(active, nsp, sp), jnp.where(active, nep, ep))
         return step
 
+    def main_chars(t0):
+        """One up-front gather of every main-loop character (in-loop
+        take_along_axis costs a full per-lane gather per step)."""
+        ts = jnp.arange(t0, max_len, dtype=jnp.int32)
+        j = jnp.clip(ends[..., None] - 1 - ts, 0, m - 1)
+        return jnp.take_along_axis(patterns, j, axis=-1)
+
     if k == 0:
-        return jax.lax.fori_loop(0, max_len, make_step(), (sp0, ep0))
+        return jax.lax.fori_loop(0, max_len, make_step(chars=main_chars(0)),
+                                 (sp0, ep0))
 
     short = lens < k
     sp_t, ep_t = klt_lookup(dix, block, end_kmers)
@@ -271,4 +301,6 @@ def search_patterns(dix: DeviceIndex, block, patterns, starts, ends,
     ep1 = jnp.where(short, ep_a, ep_t)
 
     # phase B: steps k..max_len (short lanes are already past their length)
-    return jax.lax.fori_loop(k, max_len, make_step(), (sp1, ep1))
+    return jax.lax.fori_loop(k, max_len,
+                             make_step(chars=main_chars(k), t0=k),
+                             (sp1, ep1))

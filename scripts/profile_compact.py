@@ -135,7 +135,14 @@ def pipeline_prefix(dix, cfg, frames, stop: str):
 
 def main():
     rng = np.random.default_rng(0)
-    idx = build_index(random_genome_fasta(rng, contigs=(5_000_000, 5_000_000)))
+    cache = "/tmp/profile_idx_10m"
+    from bitmapperbs_tpu.index.build import load_index, save_index
+    if os.path.exists(cache + ".json"):
+        idx = load_index(cache)
+    else:
+        idx = build_index(random_genome_fasta(
+            rng, contigs=(5_000_000, 5_000_000)))
+        save_index(idx, cache)
     dix = upload_index(idx)
     cfg = AlignerConfig(max_errors=4, indels=True, read_len_bucket=96,
                         batch_size=4096)
