@@ -69,6 +69,12 @@ def build_parser():
     se.add_argument("--stats-json", default=None)
     se.add_argument("--resume", action="store_true",
                     help="resume from the output's cursor checkpoint")
+    se.add_argument("--dist-hosts", type=int, default=1,
+                    help="number of hosts in a multi-host (pod) run")
+    se.add_argument("--dist-host-id", type=int, default=None,
+                    help="this host's process id (default: auto)")
+    se.add_argument("--dist-coordinator", default=None,
+                    help="jax.distributed coordinator address host:port")
     se.add_argument("--oracle", action="store_true",
                     help="use the pure-CPU numpy oracle path (debug)")
     se.add_argument("--rg", default=None, help="read group id")
@@ -140,6 +146,20 @@ def cmd_search(args) -> int:
                          f"(run: bitmapperbs_tpu index {args.ref})\n")
         return 2
     cfg = make_config(args)
+
+    # multi-host (SURVEY.md 2.2/5.8): record-strided FASTQ shard per host,
+    # per-host SAM shard, global stats psum at the end
+    shard = None
+    if args.dist_hosts > 1:
+        from bitmapperbs_tpu.parallel import multihost
+        pid, nproc = multihost.init_distributed(
+            args.dist_coordinator, args.dist_hosts, args.dist_host_id)
+        shard = multihost.HostShard(pid, nproc)
+        if args.output != "-":
+            args.output = multihost.shard_path(args.output, pid, nproc)
+        sys.stderr.write(f"[bitmapperbs_tpu] host {pid}/{nproc} -> "
+                         f"{args.output}\n")
+
     idx = load_index(prefix)
 
     use_oracle = args.oracle
@@ -150,10 +170,16 @@ def cmd_search(args) -> int:
         dix = upload_index(idx)
 
     cursor_path = (args.output + ".cursor") if args.output != "-" else None
-    resume = {"record": 0, "offset": 0}
+    resume = {"record": 0, "offset": 0, "out_pos": 0}
     if args.resume and cursor_path and os.path.exists(cursor_path):
         with open(cursor_path) as f:
             resume = json.load(f)
+        # a crash can land between the output flush and the cursor write;
+        # truncating the output to the cursor's byte position makes the
+        # (flush, cursor) pair effectively atomic -- no duplicate records
+        if resume.get("out_pos") is not None and os.path.exists(args.output):
+            with open(args.output, "r+b") as f:
+                f.truncate(resume["out_pos"])
         sys.stderr.write(f"[bitmapperbs_tpu] resuming at record "
                          f"{resume['record']}\n")
 
@@ -193,21 +219,28 @@ def cmd_search(args) -> int:
     def save_cursor(record, offset):
         if cursor_path:
             with open(cursor_path, "w") as f:
-                json.dump({"record": record, "offset": offset}, f)
+                json.dump({"record": record, "offset": offset,
+                           "out_pos": out_fh.tell()}, f)
 
     if not args.pe:
         reader = FastqReader(args.seq, cfg.batch_size, args.phred64,
                              resume_offset=resume["offset"],
                              resume_record=resume["record"])
         for batch in reader:
+            codes, qnames, quals = batch.codes, batch.qnames, batch.quals
+            if shard is not None:
+                codes, qnames, quals = shard.filter_batch(
+                    codes, qnames, quals, batch.start_record)
+                if not codes:
+                    save_cursor(batch.start_record + len(batch),
+                                batch.end_offset)
+                    continue
             if use_oracle:
                 from bitmapperbs_tpu.oracle.pipeline import map_batch_se
-                recs = map_batch_se(idx, cfg, batch.codes, batch.quals,
-                                    batch.qnames)
+                recs = map_batch_se(idx, cfg, codes, quals, qnames)
             else:
-                recs = map_batch_tpu(idx, dix, cfg, batch.codes, batch.quals,
-                                     batch.qnames)
-            emit(recs, batch.codes, batch.qnames, batch.quals)
+                recs = map_batch_tpu(idx, dix, cfg, codes, quals, qnames)
+            emit(recs, codes, qnames, quals)
             out_fh.flush()
             save_cursor(batch.start_record + len(batch), batch.end_offset)
     else:
@@ -215,6 +248,16 @@ def cmd_search(args) -> int:
                                  args.phred64):
             prs = list(zip(b1.codes, b2.codes))
             quals = list(zip(b1.quals, b2.quals))
+            qn = b1.qnames
+            if shard is not None:
+                prs, qn, quals = shard.filter_batch(
+                    prs, qn, quals, b1.start_record)
+                b1 = type(b1)(codes=[p[0] for p in prs], qnames=qn,
+                              quals=[q[0] for q in quals],
+                              start_record=b1.start_record,
+                              end_offset=b1.end_offset)
+                if not prs:
+                    continue
             if use_oracle:
                 from bitmapperbs_tpu.oracle.paired import map_batch_pe
                 recs = map_batch_pe(idx, cfg, prs, quals, b1.qnames)
@@ -230,6 +273,11 @@ def cmd_search(args) -> int:
         writer.close()
     wall = time.time() - t0
     stats.report(wall_s=wall)
+    if shard is not None:
+        from bitmapperbs_tpu.parallel.multihost import global_stats
+        g = global_stats(stats)
+        sys.stderr.write(f"[bitmapperbs_tpu] global (all {args.dist_hosts} "
+                         f"hosts): {g}\n")
     if args.stats_json:
         with open(args.stats_json, "w") as f:
             f.write(stats.to_json() + "\n")

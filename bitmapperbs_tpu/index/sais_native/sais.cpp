@@ -156,3 +156,34 @@ int sais_u8_i64(const uint8_t* text, int64_t* sa, int64_t n) {
 }
 
 }  // extern "C"
+
+// Self-test main for the sanitizer build (`make check-asan`): random texts
+// verified against a naive O(n^2 log n) comparison sort.
+#ifdef SAIS_SELFTEST
+#include <algorithm>
+#include <cstdio>
+#include <cstdlib>
+
+int main() {
+  unsigned seed = 12345;
+  for (int iter = 0; iter < 50; ++iter) {
+    int64_t n = 2 + rand_r(&seed) % 2000;
+    std::vector<uint8_t> t(n);
+    for (int64_t i = 0; i + 1 < n; ++i) t[i] = 1 + rand_r(&seed) % 3;
+    t[n - 1] = 0;
+    std::vector<int64_t> sa(n), want(n);
+    if (sais_u8_i64(t.data(), sa.data(), n) != 0) { std::puts("FAIL rc"); return 1; }
+    for (int64_t i = 0; i < n; ++i) want[i] = i;
+    std::sort(want.begin(), want.end(), [&](int64_t a, int64_t b) {
+      while (a < n && b < n) {
+        if (t[a] != t[b]) return t[a] < t[b];
+        ++a; ++b;
+      }
+      return a == n;
+    });
+    if (sa != want) { std::puts("FAIL sa"); return 1; }
+  }
+  std::puts("OK");
+  return 0;
+}
+#endif

@@ -23,3 +23,18 @@ def test_native_repetitive_text(rng):
     t = np.concatenate([np.tile(unit, 400), np.zeros(1, np.uint8)])
     np.testing.assert_array_equal(
         sais.suffix_array(t), sais.suffix_array_numpy(t))
+
+
+def test_asan_selftest():
+    """Sanitizer coverage for the native component (SURVEY.md 5.2)."""
+    import os
+    import shutil
+    import subprocess
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    d = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "bitmapperbs_tpu", "index", "sais_native")
+    r = subprocess.run(["make", "-C", d, "check-asan"], capture_output=True,
+                       text=True, timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "OK" in r.stdout
