@@ -75,6 +75,8 @@ def build_parser():
                     help="this host's process id (default: auto)")
     se.add_argument("--dist-coordinator", default=None,
                     help="jax.distributed coordinator address host:port")
+    se.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace (XProf/Perfetto) to DIR")
     se.add_argument("--oracle", action="store_true",
                     help="use the pure-CPU numpy oracle path (debug)")
     se.add_argument("--rg", default=None, help="read group id")
@@ -222,6 +224,10 @@ def cmd_search(args) -> int:
                 json.dump({"record": record, "offset": offset,
                            "out_pos": out_fh.tell()}, f)
 
+    from bitmapperbs_tpu.utils.profiling import device_trace
+    trace_ctx = device_trace(args.profile)
+    trace_ctx.__enter__()
+
     if not args.pe:
         reader = FastqReader(args.seq, cfg.batch_size, args.phred64,
                              resume_offset=resume["offset"],
@@ -269,6 +275,10 @@ def cmd_search(args) -> int:
             emit(recs, flat_reads, flat_qn, flat_q)
             out_fh.flush()
 
+    trace_ctx.__exit__(None, None, None)
+    if args.profile:
+        sys.stderr.write(f"[bitmapperbs_tpu] profiler trace -> "
+                         f"{args.profile}\n")
     if bam:
         writer.close()
     wall = time.time() - t0
