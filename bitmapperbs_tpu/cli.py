@@ -34,6 +34,12 @@ def build_parser():
     ix.add_argument("ref")
     ix.add_argument("--prefix", default=None,
                     help="index output prefix (default: <ref>.btidx)")
+    ix.add_argument("--sa-rate", type=int, default=None,
+                    help="SA sample rate (default: 4 for <=134 Mbp, else 8; "
+                         "lower = faster locate, more HBM)")
+    ix.add_argument("--klt-k", type=int, default=None,
+                    help="k-mer lookup table depth (default: genome-size "
+                         "adaptive, <= 14)")
 
     se = sub.add_parser("search", help="map reads")
     se.add_argument("ref")
@@ -92,7 +98,7 @@ def cmd_index(args) -> int:
 
     prefix = args.prefix or default_prefix(args.ref)
     t0 = time.time()
-    idx = build_index(args.ref)
+    idx = build_index(args.ref, sa_rate=args.sa_rate, klt_k=args.klt_k)
     save_index(idx, prefix)
     sys.stderr.write(
         f"[bitmapperbs_tpu] indexed {sum(idx.genome.lengths)} bp "
@@ -245,7 +251,8 @@ def cmd_search(args) -> int:
                 from bitmapperbs_tpu.oracle.pipeline import map_batch_se
                 recs = map_batch_se(idx, cfg, codes, quals, qnames)
             else:
-                recs = map_batch_tpu(idx, dix, cfg, codes, quals, qnames)
+                recs = map_batch_tpu(idx, dix, cfg, codes, quals, qnames,
+                                     stats=stats)
             emit(recs, codes, qnames, quals)
             out_fh.flush()
             save_cursor(batch.start_record + len(batch), batch.end_offset)
@@ -268,7 +275,8 @@ def cmd_search(args) -> int:
                 from bitmapperbs_tpu.oracle.paired import map_batch_pe
                 recs = map_batch_pe(idx, cfg, prs, quals, b1.qnames)
             else:
-                recs = map_batch_pe_tpu(idx, dix, cfg, prs, quals, b1.qnames)
+                recs = map_batch_pe_tpu(idx, dix, cfg, prs, quals, b1.qnames,
+                                        stats=stats)
             flat_reads = [r for p in prs for r in p]
             flat_qn = [qn for qn in b1.qnames for _ in (0, 1)]
             flat_q = [q for p in quals for q in p]

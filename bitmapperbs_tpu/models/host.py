@@ -63,12 +63,15 @@ MAX_INFLIGHT = 3  # device batches dispatched ahead of host finalize
 
 
 def map_batch_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
-                  reads, quals=None, qnames=None) -> list[SamRecord]:
+                  reads, quals=None, qnames=None, stats=None) -> list[SamRecord]:
     """End-to-end device mapping of a list of reads -> SAM records.
 
     Batches are dispatched ahead of host-side finalization (JAX async
     dispatch; SURVEY.md hard-part 7: host I/O must overlap device compute),
     with a bounded in-flight window; output order is preserved.
+    stats: optional io.stats.MapStats -- device capacity-overflow flags are
+    accumulated into stats.overflow_reads (SURVEY.md 5.5: silent caps eat
+    recall, so they must be counted).
     """
     quals = quals or [""] * len(reads)
     qnames = qnames or [f"r{i}" for i in range(len(reads))]
@@ -80,6 +83,9 @@ def map_batch_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
     def drain(item):
         lo, chunk, arr, lengths, out = item
         out = _gdrop_fallback_se(dix, cfg, arr, lengths, out)
+        if stats is not None:
+            stats.overflow_reads += int(
+                np.asarray(out["overflow"])[:len(chunk)].sum())
         hits = device_results_to_hits(cfg, idx.genome.length, lengths, out)
         for i, (best, second) in enumerate(hits[:len(chunk)]):
             read = np.asarray(chunk[i], dtype=np.uint8)
@@ -139,7 +145,8 @@ def _gdrop_fallback_se(dix, cfg: AlignerConfig, arr, lengths, out):
 # --------------------------------------------------------------------------
 
 def map_batch_pe_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
-                     pairs, quals=None, qnames=None) -> list[SamRecord]:
+                     pairs, quals=None, qnames=None,
+                     stats=None) -> list[SamRecord]:
     """End-to-end device PE mapping -> SAM records (2 per pair)."""
     from bitmapperbs_tpu.models.paired import map_batch_pe_device
     from bitmapperbs_tpu.oracle import paired as opaired
@@ -158,6 +165,10 @@ def map_batch_pe_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
                     else {kk: np.asarray(vv) for kk, vv in v.items()})
                 for k, v in out.items()}
         gdrop = host["gdrop"]
+        if stats is not None:
+            stats.overflow_reads += int(
+                (host["se1"]["overflow"][:len(chunk)]
+                 | host["se2"]["overflow"][:len(chunk)]).sum())
         if cfg.compact and gdrop.any():
             dense = map_batch_pe_device(
                 dix, cfg.replace(compact=False), jnp.asarray(a1),
