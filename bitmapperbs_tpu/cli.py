@@ -40,6 +40,12 @@ def build_parser():
     ix.add_argument("--klt-k", type=int, default=None,
                     help="k-mer lookup table depth (default: genome-size "
                          "adaptive, <= 14)")
+    ix.add_argument("--build-mode", choices=("auto", "sais", "lowmem"),
+                    default="auto",
+                    help="sais: in-RAM suffix array (~12 B/char); lowmem: "
+                         "native dynamic-BWT insertion, no suffix array "
+                         "(~1 B/char peak -- whole-genome builds on small "
+                         "hosts); auto picks by genome size")
 
     se = sub.add_parser("search", help="map reads")
     se.add_argument("ref")
@@ -98,7 +104,8 @@ def cmd_index(args) -> int:
 
     prefix = args.prefix or default_prefix(args.ref)
     t0 = time.time()
-    idx = build_index(args.ref, sa_rate=args.sa_rate, klt_k=args.klt_k)
+    idx = build_index(args.ref, sa_rate=args.sa_rate, klt_k=args.klt_k,
+                      build_mode=args.build_mode)
     save_index(idx, prefix)
     sys.stderr.write(
         f"[bitmapperbs_tpu] indexed {sum(idx.genome.lengths)} bp "

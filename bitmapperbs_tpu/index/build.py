@@ -174,13 +174,82 @@ def default_klt_k(n: int) -> int:
     return k
 
 
+def _pack_cp_from_packed_bwt(n: int, packed_bwt: np.ndarray,
+                             mark_bits: np.ndarray,
+                             chunk_rows: int = 1 << 18):
+    """Checkpoint rows from a 2-bit-packed BWT + SA-mark bitset, streamed.
+
+    The low-memory build path (bwt_via_insertion) never materializes the
+    BWT as one byte per char; this packer works in bounded chunks so peak
+    transient memory stays ~chunk-sized regardless of n.  Output is
+    byte-identical to the SA-IS path's packing.
+    """
+    rows = -(-n // K.CP_BLOCK)
+    cp = np.zeros((rows, K.CP_ROW_U32), dtype=np.uint32)
+    run = np.zeros(K.CONV_ALPHA, dtype=np.uint64)
+    mark_run = np.uint64(0)
+    bytes_per_row = K.CP_BLOCK // 4          # 2-bit codes
+    mark_bytes_per_row = K.CP_BLOCK // 8
+    mb_pad = np.zeros(rows * mark_bytes_per_row, dtype=np.uint8)
+    mb_pad[:len(mark_bits)] = mark_bits
+    for r0 in range(0, rows, chunk_rows):
+        r1 = min(r0 + chunk_rows, rows)
+        nr = r1 - r0
+        chunk = np.zeros(nr * bytes_per_row, dtype=np.uint8)
+        src = packed_bwt[r0 * bytes_per_row:r1 * bytes_per_row]
+        chunk[:len(src)] = src
+        codes = ((chunk[:, None] >> np.arange(0, 8, 2, dtype=np.uint8))
+                 & 3).reshape(nr, K.CP_BLOCK).astype(np.uint8)
+        for c in range(K.CONV_ALPHA):
+            per_row = (codes == c).sum(axis=1, dtype=np.uint64)
+            cum = np.cumsum(per_row)
+            cp[r0:r1, c] = (run[c] + cum - per_row).astype(np.uint32)
+            run[c] += cum[-1]
+        flat = codes.reshape(-1)
+        cp[r0:r1, K.CONV_ALPHA:K.CONV_ALPHA + K.CP_WORDS] = _pack_bits(
+            (flat & 1).astype(np.uint8)).reshape(nr, K.CP_WORDS)
+        cp[r0:r1, K.CONV_ALPHA + K.CP_WORDS:K.CP_MARK_OFF] = _pack_bits(
+            ((flat >> 1) & 1).astype(np.uint8)).reshape(nr, K.CP_WORDS)
+        mw = mb_pad[r0 * mark_bytes_per_row:r1 * mark_bytes_per_row].view(
+            "<u4").reshape(nr, K.CP_WORDS)
+        cp[r0:r1, K.CP_MARK_OFF + 1:] = mw
+        mrow = np.bitwise_count(mw).sum(axis=1, dtype=np.uint64)
+        mcum = np.cumsum(mrow)
+        cp[r0:r1, K.CP_MARK_OFF] = (mark_run + mcum - mrow).astype(np.uint32)
+        mark_run += mcum[-1]
+    run[0] -= np.uint64(rows * K.CP_BLOCK - n)   # zero-pad is not sentinel
+    cbase = np.zeros(K.CONV_ALPHA, dtype=np.uint32)
+    cbase[1:] = np.cumsum(run)[:-1].astype(np.uint32)
+    return cp, cbase
+
+
 def build_block(conv_text: np.ndarray, sa: np.ndarray | None = None,
                 sa_rate: int = K.DEFAULT_SA_RATE,
-                klt_k: int | None = None) -> PackedBlock:
+                klt_k: int | None = None,
+                mode: str = "sais") -> PackedBlock:
     """Converted text (codes 1..3, no sentinel) -> PackedBlock.
 
     Reference parity: C5 (BWT + occ checkpoints) and C6 (SA sampling).
+    mode="lowmem" builds the BWT by native dynamic insertion without ever
+    materializing a suffix array (the pSAscan role, SURVEY.md C4); artifacts
+    are byte-identical to the SA-IS path.
     """
+    if mode == "lowmem" and sa is None:
+        from bitmapperbs_tpu.index import sais as _sais
+        text = np.concatenate([
+            np.ascontiguousarray(conv_text, dtype=np.uint8),
+            np.zeros(1, dtype=np.uint8)])
+        n = len(text)
+        if n - 1 >= 2**32 - 1:
+            raise ValueError("block text exceeds uint32 positions")
+        packed, marks, samples = _sais.bwt_via_insertion(text, sa_rate)
+        cp, cbase = _pack_cp_from_packed_bwt(n, packed, marks)
+        block = PackedBlock(n=n, cbase=cbase, cp_rows=cp,
+                            sa_samples=samples.astype(np.uint32),
+                            sa_rate=sa_rate)
+        block.klt_k = default_klt_k(n) if klt_k is None else klt_k
+        block.klt = build_klt(block, block.klt_k)
+        return block
     text = np.concatenate([
         np.ascontiguousarray(conv_text, dtype=np.uint8),
         np.zeros(1, dtype=np.uint8),   # sentinel
@@ -249,23 +318,36 @@ INDEX_VERSION = 3
 
 
 def build_index(fasta, sa_rate: int | None = None,
-                klt_k: int | None = None) -> BSIndex:
+                klt_k: int | None = None,
+                build_mode: str = "auto") -> BSIndex:
     """FASTA -> BSIndex (SURVEY.md call stack 3.1).
 
     sa_rate default is genome-size-adaptive: small genomes afford dense SA
     samples (rate 4: half the locate LF gathers for 1 byte/position/block);
     large ones use DEFAULT_SA_RATE to bound sample memory (GRCh38 two-block
     samples at rate 8 ~= 3.1 GB).
+
+    build_mode: "sais" (in-RAM suffix array, ~12 B/char, fastest),
+    "lowmem" (native dynamic-BWT insertion, ~1 B/char peak, no SA ever --
+    the pSAscan role for whole-genome builds on small hosts), or "auto"
+    (lowmem for texts over 512 Mbp when the native library is present).
     """
     genome = parse_fasta(fasta)
     if sa_rate is None:
         sa_rate = 4 if len(genome.codes) <= 1 << 27 else K.DEFAULT_SA_RATE
+    mode = build_mode
+    if mode == "auto":
+        from bitmapperbs_tpu.index import sais as _sais
+        lib = _sais._native_lib()
+        big = len(genome.codes) > (1 << 29)
+        mode = "lowmem" if (big and lib is not None
+                            and hasattr(lib, "bwtinc_build")) else "sais"
     ct_fwd = dna.ct_convert(genome.codes)
     ct_rc = dna.ct_convert(dna.revcomp(genome.codes))
     if klt_k is None:
         klt_k = default_klt_k(len(genome.codes) + 1)
-    blocks = [build_block(ct_fwd, sa_rate=sa_rate, klt_k=klt_k),
-              build_block(ct_rc, sa_rate=sa_rate, klt_k=klt_k)]
+    blocks = [build_block(ct_fwd, sa_rate=sa_rate, klt_k=klt_k, mode=mode),
+              build_block(ct_rc, sa_rate=sa_rate, klt_k=klt_k, mode=mode)]
     meta = {
         "version": INDEX_VERSION,
         "genome_sha256": hashlib.sha256(genome.codes.tobytes()).hexdigest(),

@@ -34,8 +34,48 @@ def _native_lib():
             ctypes.c_int64,
         ]
         lib.sais_u8_i64.restype = ctypes.c_int
+        if hasattr(lib, "bwtinc_build"):
+            lib.bwtinc_build.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.bwtinc_build.restype = ctypes.c_int
         _LIB = lib
     return _LIB
+
+
+def bwt_via_insertion(text: np.ndarray, sa_rate: int):
+    """Bounded-RAM BWT + SA-sample construction (native dynamic-BWT).
+
+    Never materializes a suffix array (SURVEY.md C4 external-memory role:
+    ~0.5 B/char of working memory in the C++ tree vs ~12 B/char for SA-IS).
+    Returns (bwt_packed uint8[ceil(n/4) padded to 64], mark_bits
+    uint8[ceil(n/8)], samples uint32[nmarks]) for `text` with its unique
+    smallest sentinel (0) last.
+    """
+    lib = _native_lib()
+    if lib is None or not hasattr(lib, "bwtinc_build"):
+        raise RuntimeError(
+            "native libsais.so with bwtinc_build not built "
+            "(make -C bitmapperbs_tpu/index/sais_native)")
+    t = np.ascontiguousarray(text, dtype=np.uint8)
+    n = len(t)
+    packed = np.zeros((n // 4 + 64) & ~63, dtype=np.uint8)
+    marks = np.zeros((n + 7) // 8, dtype=np.uint8)
+    samples = np.zeros(n // sa_rate + 2, dtype=np.uint32)
+    nm = ctypes.c_int64(0)
+    rc = lib.bwtinc_build(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n), ctypes.c_int32(sa_rate),
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        marks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        samples.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.byref(nm))
+    if rc != 0:
+        raise RuntimeError(f"bwtinc_build failed with rc={rc}")
+    return packed, marks, samples[:nm.value].copy()
 
 
 def suffix_array_numpy(text: np.ndarray) -> np.ndarray:
