@@ -159,14 +159,6 @@ def map_batch_pe_device(dix: DeviceIndex, cfg: AlignerConfig,
     ms_lengths = jnp.where(anch_is_1, lengths2, lengths1)
     block = jnp.clip(a_bp >> 1, 0, 1)
 
-    lo = jnp.where(a_rev,
-                   A + a_len - U32(cfg.max_insert),
-                   A + U32(cfg.min_insert) - ms_len)
-    R = cfg.max_insert - cfg.min_insert + 1
-    p = lo[:, None] + jnp.arange(R, dtype=U32)             # B,R fwd positions
-    p_ok = have_anchor[:, None] & (p <= U32(L) - ms_len[:, None])
-    a_ms = _frame_anchor(p, block[:, None], ms_len[:, None], L)
-
     # missing mate's frame read planes / peq: pattern = opposite of anchored
     opp_pat = jnp.where(anch_is_1, 1 - (se1["best_bp"] & 1),
                         1 - (se2["best_bp"] & 1))          # B
@@ -174,31 +166,75 @@ def map_batch_pe_device(dix: DeviceIndex, cfg: AlignerConfig,
         cfg, g1, g2, anch_is_1, opp_pat, ms_lengths, m)
 
     Wd = m // 32
-    rp = tuple(pl[:, None, :] for pl in ms_planes)
-    ref = verify.window_planes(dix.g_planes,
-                               jnp.broadcast_to(block[:, None], (B, R)),
-                               jnp.where(p_ok, a_ms, 0), Wd, L, dix.idx_axis)
-    rham = verify.hamming(ref, rp, ms_lenmask[:, None, :])
-    if cfg.indels and e > 0:
-        ncols = m + 2 * e
-        Ww = -(-ncols // 32)
-        win = verify.window_planes(dix.g_planes,
-                                   jnp.broadcast_to(block[:, None], (B, R)),
-                                   jnp.where(p_ok, a_ms, 0) - U32(e), Ww, L, dix.idx_axis)
-        from bitmapperbs_tpu.models.aligner import myers_fn
-        peq_b = jnp.broadcast_to(ms_peq[:, None], (B, R, 4, Wd))
-        pad_b = jnp.broadcast_to(ms_pad[:, None], (B, R, Wd))
-        rmed = myers_fn(cfg)(win, peq_b, pad_b, m, ncols)
-        rscore = jnp.where(rham <= e, rham, rmed)
-    else:
-        rscore = rham
-    rscore = jnp.where(p_ok & (rscore <= e), rscore, INF)  # B,R
+    R = cfg.max_insert - cfg.min_insert + 1
+    # fwd offset range [lo, hi], uint32 with explicit underflow clamps
+    # (A + a_len and A + max_insert stay < 2^32 for uint32 genomes)
+    lo_rev = jnp.where(A + a_len >= U32(cfg.max_insert),
+                       A + a_len - U32(cfg.max_insert), U32(0))
+    lo_fwd = jnp.where(A + U32(cfg.min_insert) >= ms_len,
+                       A + U32(cfg.min_insert) - ms_len, U32(0))
+    lo = jnp.where(a_rev, lo_rev, lo_fwd)
+    hi = jnp.where(a_rev, A + a_len - U32(cfg.min_insert),
+                   A + U32(cfg.max_insert) - ms_len)
+    hi = jnp.minimum(hi, U32(L) - ms_len)
+    r_ok = have_anchor & (lo <= hi)
 
-    rs_best = rscore.min(axis=-1)
-    rm1 = rscore == rs_best[:, None]
-    rp_best = jnp.where(rm1, p, INVALID).min(axis=-1)
-    rdiff = jnp.maximum(p, rp_best[:, None]) - jnp.minimum(p, rp_best[:, None])
-    rs_second = jnp.where(rdiff > U32(e), rscore, INF).min(axis=-1)
+    if cfg.indels and e > 0:
+        # ONE semi-global Myers scan per pair over the whole insert window
+        # (oracle/paired.rescue frozen spec): the per-offset banded DPs'
+        # alignment sets union to the scan's infix set, so one (B,) lane
+        # pass replaces (B, R) lanes of banded DP.  Column j of the scan is
+        # the REAL read's alignment ending at win_start + j - (m - length)
+        # (pad rows shift by m - length; verify.myers_scan docstring).
+        a_lo = jnp.where(block == 0, lo, U32(L) - hi - ms_len)
+        span = hi - lo                                     # == a_hi - a_lo
+        ncols = R + m + 2 * e
+        Ww = -(-ncols // 32)
+        win_start = jnp.where(r_ok, a_lo - U32(e), 0)      # wrap >= -e legal
+        win = verify.window_planes(
+            dix.g_planes, block, win_start, Ww, L, dix.idx_axis)
+        if cfg.use_pallas and jax.default_backend() == "tpu":
+            from bitmapperbs_tpu.ops.pallas_kernels import myers_scan_pallas
+            scan_fn = myers_scan_pallas
+        else:
+            scan_fn = verify.myers_scan
+        S = scan_fn(win, ms_peq, ms_pad, m, ncols)         # B, ncols
+        # real frame anchor of column j: A_raw = a_lo + (j - (e + m - 1));
+        # valid iff j >= e+m-1 and j - (e+m-1) <= span (wrap-free in u32)
+        j = jnp.arange(ncols, dtype=jnp.int32)
+        joff = j - (e + m - 1)                             # may be negative
+        in_range = (joff >= 0) & (joff[None, :] <= span[:, None].astype(
+            jnp.int32))
+        A_raw = a_lo[:, None] + jnp.maximum(joff, 0).astype(U32)
+        valid = r_ok[:, None] & in_range & (S <= e)
+        P = jnp.where(block[:, None] == 0, A_raw,
+                      U32(L) - A_raw - ms_len[:, None])
+        rscore = jnp.where(valid, S, INF)
+        rs_best = rscore.min(axis=-1)
+        rm1 = valid & (S == rs_best[:, None])
+        rp_best = jnp.where(rm1, P, INVALID).min(axis=-1)
+        A_best = jnp.where(block == 0, rp_best,
+                           U32(L) - rp_best - ms_len)
+        rdiff = jnp.maximum(A_raw, A_best[:, None]) - jnp.minimum(
+            A_raw, A_best[:, None])
+        rs_second = jnp.where(valid & (rdiff > U32(e)), S, INF).min(axis=-1)
+    else:
+        # mismatch-only: per-offset Hamming over the window (frozen spec)
+        p = lo[:, None] + jnp.arange(R, dtype=U32)         # B,R fwd positions
+        p_ok = (r_ok[:, None] & (p >= lo[:, None]) & (p <= hi[:, None]))
+        a_ms = _frame_anchor(p, block[:, None], ms_len[:, None], L)
+        rp = tuple(pl[:, None, :] for pl in ms_planes)
+        ref = verify.window_planes(
+            dix.g_planes, jnp.broadcast_to(block[:, None], (B, R)),
+            jnp.where(p_ok, a_ms, 0), Wd, L, dix.idx_axis)
+        rham = verify.hamming(ref, rp, ms_lenmask[:, None, :])
+        rscore = jnp.where(p_ok & (rham <= e), rham, INF)  # B,R
+        rs_best = rscore.min(axis=-1)
+        rm1 = rscore == rs_best[:, None]
+        rp_best = jnp.where(rm1, p, INVALID).min(axis=-1)
+        rdiff = jnp.maximum(p, rp_best[:, None]) - jnp.minimum(
+            p, rp_best[:, None])
+        rs_second = jnp.where(rdiff > U32(e), rscore, INF).min(axis=-1)
 
     return {
         "pair_valid": pair_valid,

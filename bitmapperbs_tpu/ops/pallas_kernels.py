@@ -116,6 +116,142 @@ def _myers_kernel(win_ref, peq_ref, pad_ref, out_ref, *, Wd, Ww, m, ncols):
     out_ref[:, :] = st[3]
 
 
+def _myers_scan_kernel(win_ref, peq_ref, pad_ref, out_ref, *, Wd, Ww, m,
+                       ncols):
+    """Like _myers_kernel, but emits the running score at EVERY column:
+    out (ncols, T) i32 -- the per-end-column scan mate rescue consumes."""
+    T = out_ref.shape[-1]
+    pad = [pad_ref[k:k + 1, :] for k in range(Wd)]
+    peq = [[peq_ref[c * Wd + k:c * Wd + k + 1, :] for k in range(Wd)]
+           for c in range(4)]
+
+    def make_col(vp, vn, score, w0, w1, wn, b):
+        c0 = (w0 >> b) & 1
+        c1 = (w1 >> b) & 1
+        cn = (wn >> b) & 1
+        n_mask = U32(0) - cn
+        s0 = U32(0) - c0
+        s1 = U32(0) - c1
+        eq = []
+        for k in range(Wd):
+            e = (peq[0][k] & ~s0 & ~s1) | (peq[1][k] & s0 & ~s1) \
+                | (peq[2][k] & ~s0 & s1) | (peq[3][k] & s0 & s1)
+            eq.append((e & ~n_mask) | (pad[k] & n_mask))
+
+        d0, hp, hn = [], [], []
+        carry = None
+        for k in range(Wd):
+            t = eq[k] & vp[k]
+            s = t + vp[k]
+            c_out = (s < t).astype(U32)
+            if carry is not None:
+                s2 = s + carry
+                c_out = c_out | (s2 < s).astype(U32)
+                s = s2
+            carry = c_out
+            d0.append((s ^ vp[k]) | eq[k] | vn[k])
+            hp.append(vn[k] | ~(d0[k] | vp[k]))
+            hn.append(vp[k] & d0[k])
+
+        top = ((hp[Wd - 1] >> 31) & 1).astype(jnp.int32) - \
+              ((hn[Wd - 1] >> 31) & 1).astype(jnp.int32)
+        score = score + top
+
+        nvp, nvn = [], []
+        prev_hp = jnp.zeros_like(hp[0])
+        prev_hn = jnp.zeros_like(hn[0])
+        for k in range(Wd):
+            x = (hp[k] << 1) | (prev_hp >> 31)
+            sh_hn = (hn[k] << 1) | (prev_hn >> 31)
+            nvp.append(sh_hn | ~(d0[k] | x))
+            nvn.append(d0[k] & x)
+            prev_hp, prev_hn = hp[k], hn[k]
+        return nvp, nvn, score
+
+    nfull, tail = ncols // 32, ncols % 32
+
+    def block(wb, st):
+        vp = [st[0][k:k + 1, :] for k in range(Wd)]
+        vn = [st[1][k:k + 1, :] for k in range(Wd)]
+        score = st[2]
+        w0 = win_ref[pl.ds(wb, 1), :]
+        w1 = win_ref[pl.ds(Ww + wb, 1), :]
+        wn = win_ref[pl.ds(2 * Ww + wb, 1), :]
+        for b in range(32):
+            vp, vn, score = make_col(vp, vn, score, w0, w1, wn, U32(b))
+            out_ref[pl.ds(wb * 32 + b, 1), :] = score
+        return (jnp.concatenate(vp, axis=0), jnp.concatenate(vn, axis=0),
+                score)
+
+    vp0 = jnp.full((Wd, T), FULL, U32)
+    vn0 = jnp.zeros((Wd, T), U32)
+    score0 = jnp.full((1, T), m, jnp.int32)
+    st = jax.lax.fori_loop(0, nfull, block, (vp0, vn0, score0))
+
+    if tail:
+        vp = [st[0][k:k + 1, :] for k in range(Wd)]
+        vn = [st[1][k:k + 1, :] for k in range(Wd)]
+        score = st[2]
+        w0 = win_ref[nfull:nfull + 1, :]
+        w1 = win_ref[Ww + nfull:Ww + nfull + 1, :]
+        wn = win_ref[2 * Ww + nfull:2 * Ww + nfull + 1, :]
+        for b in range(tail):
+            vp, vn, score = make_col(vp, vn, score, w0, w1, wn, U32(b))
+            out_ref[nfull * 32 + b:nfull * 32 + b + 1, :] = score
+
+
+@functools.partial(jax.jit, static_argnames=("m", "ncols"))
+def myers_scan_pallas(win_planes, peq, pad, m: int, ncols: int):
+    """Drop-in TPU replacement for ops.verify.myers_scan.
+
+    win_planes: (b0, b1, n) each uint32[..., Ww]; peq uint32[..., 4, Wd];
+    pad uint32[..., Wd].  Returns int32[..., ncols]."""
+    Wd = m // 32
+    wb0, wb1, wn = win_planes
+    Ww = wb0.shape[-1]
+    lanes = pad.shape[:-1]
+    L = 1
+    for d in lanes:
+        L *= d
+
+    # tile sized so the (ncols, T) i32 output block fits comfortably in VMEM
+    T = LANE_TILE
+    while T > 256 and ncols * T * 4 > 6 * 1024 * 1024:
+        T //= 2
+    Lpad = -(-L // T) * T
+
+    def to_feature_major(x, F):
+        flat = x.reshape(L, F)
+        out = jnp.zeros((Lpad, F), x.dtype).at[:L].set(flat)
+        return out.T
+
+    win = jnp.concatenate(
+        [to_feature_major(jnp.broadcast_to(w, (*lanes, Ww)), Ww)
+         for w in (wb0, wb1, wn)], axis=0)
+    peq_f = to_feature_major(
+        jnp.broadcast_to(peq, (*lanes, 4, Wd)).reshape(*lanes, 4 * Wd),
+        4 * Wd)
+    pad_f = to_feature_major(jnp.broadcast_to(pad, (*lanes, Wd)), Wd)
+
+    kernel = functools.partial(_myers_scan_kernel, Wd=Wd, Ww=Ww, m=m,
+                               ncols=ncols)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Lpad // T,),
+        in_specs=[
+            pl.BlockSpec((3 * Ww, T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * Wd, T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wd, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ncols, T), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ncols, Lpad), jnp.int32),
+    )(win, peq_f, pad_f)
+    return jnp.moveaxis(out[:, :L], 0, -1).reshape(*lanes, ncols)
+
+
 @functools.partial(jax.jit, static_argnames=("m", "ncols"))
 def myers_pallas(win_planes, peq, pad, m: int, ncols: int):
     """Drop-in replacement for ops.verify.myers on TPU.

@@ -228,3 +228,69 @@ def myers(window_planes_, peq, pad, m: int, ncols: int):
 
     _, _, _, best = jax.lax.fori_loop(0, ncols, col, (vp0, vn0, score0, best0))
     return best
+
+
+def myers_scan(window_planes_, peq, pad, m: int, ncols: int):
+    """Per-end-column semi-global scores: int32[..., ncols].
+
+    Same recurrence as `myers`, but every column's running score is emitted:
+    out[..., j] = min edit distance of the (padded) read vs any window infix
+    ending at column j.  Because the pad rows are always-match diagonals,
+    out[..., j] equals the REAL read's score for the alignment ending at
+    column j - (m - length) -- the column->position shift the mate-rescue
+    scan accounts for.  One scan over a whole insert window replaces a
+    banded DP per candidate offset (models/paired.py).
+    """
+    wb0, wb1, wn = window_planes_
+    Wd = m // 32
+    lanes = pad.shape[:-1]
+
+    vp0 = jnp.broadcast_to(FULL, (*lanes, Wd))
+    vn0 = jnp.zeros((*lanes, Wd), U32)
+    score0 = jnp.full(lanes, m, jnp.int32)
+
+    def col(st, j):
+        vp, vn, score = st
+        w = j >> 5
+        b = (j & 31).astype(U32)
+        c0 = (jax.lax.dynamic_index_in_dim(wb0, w, axis=-1, keepdims=False) >> b) & 1
+        c1 = (jax.lax.dynamic_index_in_dim(wb1, w, axis=-1, keepdims=False) >> b) & 1
+        cn = (jax.lax.dynamic_index_in_dim(wn, w, axis=-1, keepdims=False) >> b) & 1
+        code = (c0 | (c1 << 1)).astype(jnp.int32)
+        eq_sym = jnp.take_along_axis(
+            peq, code[..., None, None], axis=-2)[..., 0, :]
+        eq = jnp.where((cn == 1)[..., None], pad, eq_sym)
+
+        t = eq & vp
+        s1 = t + vp
+        c_add = (s1 < t).astype(U32)
+        sums = [s1[..., 0]]
+        carries = [c_add[..., 0]]
+        for wi in range(1, Wd):
+            sw = s1[..., wi] + carries[-1]
+            cw = c_add[..., wi] | (sw < s1[..., wi]).astype(U32)
+            sums.append(sw)
+            carries.append(cw)
+        ssum = jnp.stack(sums, axis=-1)
+        d0 = (ssum ^ vp) | eq | vn
+        hp = vn | ~(d0 | vp)
+        hn = vp & d0
+
+        top = U32(31)
+        score = score + ((hp[..., Wd - 1] >> top) & 1).astype(jnp.int32) \
+                      - ((hn[..., Wd - 1] >> top) & 1).astype(jnp.int32)
+
+        def shl1(x):
+            lo = x << 1
+            hi_in = jnp.concatenate(
+                [jnp.zeros((*lanes, 1), U32), x[..., :-1] >> 31], axis=-1)
+            return lo | hi_in
+
+        x = shl1(hp)
+        vp = shl1(hn) | ~(d0 | x)
+        vn = d0 & x
+        return (vp, vn, score), score
+
+    _, scores = jax.lax.scan(col, (vp0, vn0, score0),
+                             jnp.arange(ncols, dtype=jnp.int32))
+    return jnp.moveaxis(scores, 0, -1)

@@ -15,11 +15,12 @@ Frozen PE spec (device pipeline must reproduce):
 - No proper pair: mate rescue (below); if that fails, each mapped mate is
   emitted with its independent SE selection (no 0x2 flag).
 - Mate rescue: anchor = the mate whose SE-selected best key is smaller
-  (or the only mapped one).  Scan every insert-compatible anchor position
-  of the missing mate in frame (block = anchored.block, pattern = opposite);
-  score with the standard rule; best (score, fwd_pos) wins if score <= e.
-  Rescued pair is proper; its MAPQ = min(anchored mate's own SE MAPQ,
-  gap MAPQ over rescue scores at loci > e apart).
+  (or the only mapped one).  One semi-global edit scan over the whole
+  insert-compatible window of the missing mate in frame (block =
+  anchored.block, pattern = opposite) -- see rescue() below for the frozen
+  per-column rule; best (score, fwd_pos) wins if score <= e.  Rescued pair
+  is proper; its MAPQ = min(anchored mate's own SE MAPQ, gap MAPQ over
+  rescue scores at loci > e apart).
 - TLEN: computed from final (post-traceback) POS/end: leftmost mate gets
   +span, the other -span; 0 when either unmapped or different contigs.
 """
@@ -79,7 +80,21 @@ def rescue(idx: BSIndex, rc_ref, cfg: AlignerConfig, anchored: Hit,
 
     Returns (best Hit | None, second_score | None) in the missing mate's
     frame (block = anchored.block, pattern = opposite of anchored's).
+
+    Frozen spec, indel mode: ONE semi-global edit-distance scan over the
+    whole insert window.  Per end column j (window coord a_lo - e + j),
+    S[j] = min edit of the read vs any infix ending there; the candidate's
+    frame anchor is A = end - m + 1, kept iff A lies in the offset range
+    [a_lo, a_hi] and S <= e.  Best = lexicographic min of (S, fwd(A));
+    second = min over candidates with |A - A_best| > e.  (One scan covers
+    every offset's banded DP: the union of infixes is the same alignment
+    set -- this is also exactly what the device computes with myers_scan,
+    with a column shift of (bucket - length) from the pad rows.)
+    Mismatch-only mode keeps the per-offset Hamming scan.
     """
+    from bitmapperbs_tpu.oracle import align
+    from bitmapperbs_tpu.oracle.pipeline import frame_slice
+
     e = cfg.max_errors
     L = idx.genome.length
     m = len(miss_read)
@@ -90,17 +105,41 @@ def rescue(idx: BSIndex, rc_ref, cfg: AlignerConfig, anchored: Hit,
     lo, hi = rescue_window(cfg, anchored, m_anch, m)
     lo = max(lo, 0)
     hi = min(hi, L - m)
+    if lo > hi:
+        return None, None
+
+    if not cfg.indels or e == 0:
+        cands = []
+        for fwd in range(lo, hi + 1):
+            a = fwd if b == K.BLOCK_FWD else L - fwd - m
+            score = score_candidate(frame_ref, frame_read, a, cfg)
+            if score <= e:
+                cands.append(Hit(score, fwd, b, p, a))
+        if not cands:
+            return None, None
+        best = min(cands, key=lambda h: h.key)
+        distinct = [h for h in cands if abs(h.anchor - best.anchor) > e]
+        second = min(distinct, key=lambda h: h.key) if distinct else None
+        return best, (second.score if second else None)
+
+    # frame-coordinate anchor range (contiguous either orientation)
+    a_lo = lo if b == K.BLOCK_FWD else L - hi - m
+    a_hi = hi if b == K.BLOCK_FWD else L - lo - m
+    window = frame_slice(frame_ref, a_lo - e, (a_hi - a_lo) + m + 2 * e)
+    S = align.edit_matrix(window, frame_read)[m, 1:]   # S[j], end col j
     cands = []
-    for fwd in range(lo, hi + 1):
-        a = fwd if b == K.BLOCK_FWD else L - fwd - m
-        score = score_candidate(frame_ref, frame_read, a, cfg)
-        if score <= e:
-            cands.append(Hit(score, fwd, b, p, a))
+    for j in range(len(window)):
+        A = a_lo - e + j - m + 1
+        if S[j] > e or A < a_lo or A > a_hi:
+            continue
+        fwd = A if b == K.BLOCK_FWD else L - A - m
+        cands.append(Hit(int(S[j]), fwd, b, p, A))
     if not cands:
         return None, None
-    best = min(cands, key=lambda h: h.key)
+    best = min(cands, key=lambda h: (h.score, h.fwd_anchor))
     distinct = [h for h in cands if abs(h.anchor - best.anchor) > e]
-    second = min(distinct, key=lambda h: h.key) if distinct else None
+    second = min(distinct, key=lambda h: (h.score, h.fwd_anchor)) \
+        if distinct else None
     return best, (second.score if second else None)
 
 

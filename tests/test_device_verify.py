@@ -132,3 +132,37 @@ def test_myers_matches_oracle_dp(rng, e):
                                 jnp.asarray(lens, jnp.int32), M)
     got = np.asarray(verify.myers(wp, peq, pad, M, ncols))
     np.testing.assert_array_equal(got, np.array(wants))
+
+
+def test_myers_scan_matches_oracle_columns(rng):
+    """Per-column scan scores == oracle edit_matrix bottom row, including
+    the pad-row column shift for padded reads."""
+    import jax.numpy as jnp
+    from bitmapperbs_tpu.oracle import align
+    from bitmapperbs_tpu.ops import verify
+
+    m_pad, ncols = 64, 96
+    B = 20
+    for _ in range(4):
+        wlen = ncols
+        win = rng.integers(0, 4, (B, wlen)).astype(np.uint8)
+        win[rng.random((B, wlen)) < 0.05] = K.N_CODE
+        lengths = rng.integers(30, m_pad + 1, B).astype(np.int32)
+        reads = rng.integers(0, 4, (B, m_pad)).astype(np.uint8)
+        for i in range(B):
+            reads[i, lengths[i]:] = K.N_CODE
+
+        wb = verify.pack_codes(win.reshape(B, wlen))
+        Ww = wlen // 32
+        peq, pad = verify.build_peq(jnp.asarray(reads),
+                                    jnp.asarray(lengths), m_pad)
+        S = np.asarray(verify.myers_scan(
+            tuple(jnp.asarray(x) for x in wb), peq, pad, m_pad, ncols))
+        for i in range(B):
+            L = int(lengths[i])
+            D = align.edit_matrix(win[i], reads[i, :L])
+            npad = m_pad - L
+            for j in range(ncols):
+                jr = j - npad
+                if 0 <= jr < wlen:
+                    assert S[i, j] == D[L, jr + 1], (i, j)
