@@ -56,6 +56,28 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     device_rps = batch / dt
 
+    # paired-end throughput (stderr; the driver metric line stays SE)
+    import sys
+
+    from bitmapperbs_tpu.models.paired import map_batch_pe_device
+    from bitmapperbs_tpu.utils.simulate import simulate_pairs
+
+    pe_cfg = cfg.replace(paired=True, min_insert=0, max_insert=500)
+    prs = simulate_pairs(idx.genome, batch, read_len=90, seed=2,
+                         sub_rate=0.01, indel_rate=0.005,
+                         min_insert=150, max_insert=480)
+    a1, l1 = prepare_batch([p[0].codes for p in prs], bucket, batch)
+    a2, l2 = prepare_batch([p[1].codes for p in prs], bucket, batch)
+    pe_args = tuple(jnp.asarray(x) for x in (a1, l1, a2, l2))
+    out = map_batch_pe_device(dix, pe_cfg, *pe_args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    outs = [map_batch_pe_device(dix, pe_cfg, *pe_args) for _ in range(4)]
+    jax.block_until_ready(outs)
+    pe_rps = 2 * batch / ((time.perf_counter() - t0) / 4)
+    sys.stderr.write(f"[bench] paired-end: {pe_rps:.0f} reads/s/chip "
+                     f"({pe_rps / 2:.0f} pairs/s)\n")
+
     # oracle throughput on a subsample (extrapolated)
     n_o = 16
     t0 = time.perf_counter()
