@@ -1,0 +1,214 @@
+"""Batched host finalization: vectorized traceback-free SAM field
+construction for ungapped alignments (SURVEY.md C13/C18 at device speed).
+
+oracle/pipeline.finalize_hit is the per-read spec; at ~100k mapped reads/s
+its per-read Python DP + per-character MD/XM loops are ~1000x too slow
+(measured 116 reads/s end-to-end).  The frozen spec emits the UNGAPPED
+alignment whenever it achieves the reported score -- true for every read
+scored by the Hamming fast path, i.e. all but the rare indel reads -- so
+this module computes those records with batched numpy (window gathers,
+vectorized asymmetric compare, vectorized Bismark-context XM strings) and
+falls back to finalize_hit only for gapped reads.  Output records are
+byte-identical to finalize_hit's (tests/test_finalize_batch.py).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from bitmapperbs_tpu import constants as K
+from bitmapperbs_tpu.config import AlignerConfig
+from bitmapperbs_tpu.index.build import BSIndex
+from bitmapperbs_tpu.io.sam import SamRecord
+from bitmapperbs_tpu.oracle.pipeline import Hit, finalize_hit
+from bitmapperbs_tpu.utils import dna
+
+_BASE = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+
+def _gather_windows(codes: np.ndarray, starts: np.ndarray, width: int,
+                    L: int) -> np.ndarray:
+    """codes[starts[i] + j] for j < width, N-filled out of [0, L)."""
+    idx = starts[:, None] + np.arange(width, dtype=np.int64)
+    oob = (idx < 0) | (idx >= L)
+    out = codes[np.clip(idx, 0, L - 1)]
+    out[oob] = K.N_CODE
+    return out
+
+
+def finalize_batch(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
+                   reads, quals, qnames, hits,
+                   flag_extras=None, mapq_overrides=None):
+    """Vectorized equivalent of [finalize_hit(...) for each read].
+
+    hits: list of (best Hit | None, second Hit | None).  Returns a list of
+    SamRecord | None (None = unmapped / rejected / suppressed-ambiguous),
+    byte-identical to per-read finalize_hit.
+    """
+    n = len(reads)
+    out: list[SamRecord | None] = [None] * n
+    e = cfg.max_errors
+    L = idx.genome.length
+    gcodes = idx.genome.codes
+
+    # ---- classify: mapped rows, then fast (ungapped) vs slow (traceback) --
+    rows = [i for i, (b, _) in enumerate(hits) if b is not None]
+    if not rows:
+        return out
+    m_arr = np.array([len(reads[i]) for i in rows], dtype=np.int64)
+    a_arr = np.array([hits[i][0].anchor for i in rows], dtype=np.int64)
+    blk = np.array([hits[i][0].block for i in rows], dtype=np.int64)
+    pat = np.array([hits[i][0].pat for i in rows], dtype=np.int64)
+    score = np.array([hits[i][0].score for i in rows], dtype=np.int64)
+
+    m_max = int(m_arr.max())
+    fr = np.full((len(rows), m_max), K.N_CODE, dtype=np.uint8)
+    for k, i in enumerate(rows):
+        r = np.asarray(reads[i], dtype=np.uint8)
+        fr[k, :len(r)] = r if hits[i][0].pat == K.PAT_CT else dna.revcomp(r)
+    inlen = np.arange(m_max)[None, :] < m_arr[:, None]
+
+    # frame window at the anchor: block 0 reads W, block 1 reads rc(W)
+    fwin = np.empty((len(rows), m_max), dtype=np.uint8)
+    for b, ref in ((K.BLOCK_FWD, gcodes), (K.BLOCK_RC, rc_ref)):
+        sel = blk == b
+        if sel.any():
+            fwin[sel] = _gather_windows(ref, a_arr[sel], m_max, L)
+    # frame-space asymmetric rule is always CT; pad rows auto-match
+    match = ((fwin == fr) | ((fwin == K.C) & (fr == K.T))) \
+        & (fwin != K.N_CODE) & (fr != K.N_CODE)
+    ham = (~match & inlen).sum(axis=1)
+    fast = (ham == score) if cfg.indels else np.ones(len(rows), dtype=bool)
+
+    # ---- slow path: gapped reads -------------------------------------------
+    # The spec's per-read python DP is O(m*w) interpreted ops; here all slow
+    # reads' DP matrices are computed in one batched pass (the horizontal
+    # chain D[i,j] = min(b_j, D[i,j-1]+1) unrolls to a prefix-min of b_k - k,
+    # so each row is a vectorized minimum.accumulate), then only the O(m+w)
+    # path walk runs per read (align.traceback with D precomputed).
+    slow = np.flatnonzero(~fast)
+    if len(slow) > 0:
+        w_max = m_max + 2 * e
+        swin = np.empty((len(slow), w_max), dtype=np.uint8)
+        for b, ref in ((K.BLOCK_FWD, gcodes), (K.BLOCK_RC, rc_ref)):
+            sel = blk[slow] == b
+            if sel.any():
+                swin[sel] = _gather_windows(
+                    ref, a_arr[slow][sel] - e, w_max, L)
+        sfr = fr[slow]
+        D = np.zeros((len(slow), m_max + 1, w_max + 1), dtype=np.int32)
+        js = np.arange(1, w_max + 1, dtype=np.int32)
+        win_n = swin == K.N_CODE
+        for i in range(1, m_max + 1):
+            rch = sfr[:, i - 1:i]
+            sub = 1 - (((swin == rch) | ((swin == K.C) & (rch == K.T)))
+                       & ~win_n & (rch != K.N_CODE)).astype(np.int32)
+            b_row = np.minimum(D[:, i - 1, :-1] + sub, D[:, i - 1, 1:] + 1)
+            run = np.minimum.accumulate(b_row - js, axis=1)
+            D[:, i, 1:] = np.minimum(run + js, i + js)
+            D[:, i, 0] = i
+        for t, k in enumerate(slow):
+            i = rows[k]
+            read = np.asarray(reads[i], np.uint8)
+            li = int(m_arr[k])
+            wlen = li + 2 * e
+            out[i] = finalize_hit(
+                idx, rc_ref, cfg, read, quals[i], qnames[i],
+                hits[i][0], hits[i][1],
+                flag_extra=flag_extras[i] if flag_extras else 0,
+                mapq_override=mapq_overrides[i] if mapq_overrides else None,
+                traceback_D=D[t, :li + 1, :wlen + 1])
+
+    f = np.flatnonzero(fast)
+    if len(f) == 0:
+        return out
+
+    # ---- fast path: ungapped records, fully vectorized ---------------------
+    mF = m_arr[f]
+    blkF = blk[f]
+    patF = pat[f]
+    fwd_pos = np.where(blkF == K.BLOCK_FWD, a_arr[f], L - a_arr[f] - mF)
+    ci = np.searchsorted(idx.genome.offsets, fwd_pos, side="right") - 1
+    coord = fwd_pos - idx.genome.offsets[ci]
+    in_contig = (coord >= 0) & (coord + mF <= idx.genome.lengths[ci])
+
+    rev = np.array([K.IS_REVERSE[(int(b), int(p))]
+                    for b, p in zip(blkF, patF)], dtype=bool)
+    ga = blkF == K.BLOCK_RC
+
+    # fwd-orientation read and genome context window [pos-2, pos+m+2)
+    fwd_read = np.full((len(f), m_max), K.N_CODE, dtype=np.uint8)
+    for t, k in enumerate(f):
+        i = rows[k]
+        r = np.asarray(reads[i], dtype=np.uint8)
+        fwd_read[t, :len(r)] = dna.revcomp(r) if rev[t] else r
+    ctxw = _gather_windows(gcodes, fwd_pos - 2, m_max + 4, L)
+    gwin = ctxw[:, 2:m_max + 2]             # fwd genome window, width m_max
+    inlenF = np.arange(m_max)[None, :] < mF[:, None]
+
+    ref_c = np.where(ga, K.G, K.C).astype(np.uint8)[:, None]
+    bs = np.where(ga[:, None], (gwin == K.G) & (fwd_read == K.A),
+                  (gwin == K.C) & (fwd_read == K.T))
+    matchF = ((gwin == fwd_read) | bs) \
+        & (gwin != K.N_CODE) & (fwd_read != K.N_CODE) & inlenF
+    mism = ~matchF & inlenF
+
+    # Bismark context letters at every ref-C position (vectorized
+    # align.meth_context): CT strand looks at +1/+2, GA strand at -1/-2
+    # complemented (G plays C's role)
+    b1 = np.where(ga[:, None], ctxw[:, 1:m_max + 1], ctxw[:, 3:m_max + 3])
+    b2 = np.where(ga[:, None], ctxw[:, 0:m_max], ctxw[:, 4:m_max + 4])
+    gsym = np.where(ga, K.C, K.G).astype(np.uint8)[:, None]
+    ctx = np.where(
+        b1 == gsym, ord("z"),
+        np.where(b1 == K.N_CODE, ord("u"),
+                 np.where(b2 == gsym, ord("x"),
+                          np.where(b2 == K.N_CODE, ord("u"),
+                                   ord("h"))))).astype(np.uint8)
+    is_c = matchF & (gwin == ref_c)
+    meth = fwd_read == ref_c                 # unconverted cytosine
+    ctx_cased = np.where(meth, ctx - 32, ctx)          # upper when methylated
+    xm_arr = np.where(is_c, ctx_cased, ord(".")).astype(np.uint8)
+    xm_arr[~inlenF] = 0
+
+    seq_arr = _BASE[fwd_read]
+
+    for t, k in enumerate(f):
+        i = rows[k]
+        if not in_contig[t]:
+            continue
+        best, second = hits[i]
+        ambiguous = second is not None and second.score == best.score
+        if ambiguous and not cfg.report_ambiguous:
+            continue
+        mapq = 0 if ambiguous else K.mapq_from_gap(
+            best.score, second.score if second else None)
+        if mapq_overrides and mapq_overrides[i] is not None:
+            mapq = mapq_overrides[i]
+        m = int(mF[t])
+        # MD from the few mismatch positions
+        mm = np.flatnonzero(mism[t, :m])
+        parts = []
+        prev = 0
+        for q in mm:
+            parts.append(str(int(q) - prev))
+            parts.append("ACGTN"[int(gwin[t, q])])
+            prev = int(q) + 1
+        parts.append(str(m - prev))
+        qual = quals[i]
+        xr, xg = K.CONV_TAGS[(int(blkF[t]), int(patF[t]))]
+        out[i] = SamRecord(
+            qname=qnames[i],
+            flag=(K.FLAG_REVERSE if rev[t] else 0)
+                 | (flag_extras[i] if flag_extras else 0),
+            rname=idx.genome.names[int(ci[t])],
+            pos=int(coord[t]) + 1,
+            mapq=mapq,
+            cigar=f"{m}M",
+            seq=seq_arr[t, :m].tobytes().decode(),
+            qual=(qual[::-1] if rev[t] else qual) if qual else "*",
+            nm=int(mism[t, :m].sum()),
+            md="".join(parts),
+            xm=xm_arr[t, :m].tobytes().decode(),
+            xr=xr, xg=xg,
+        )
+    return out

@@ -17,6 +17,7 @@ from bitmapperbs_tpu.index.build import BSIndex
 from bitmapperbs_tpu.index.device import DeviceIndex
 from bitmapperbs_tpu.io.sam import SamRecord, unmapped_record
 from bitmapperbs_tpu.models.aligner import INF, map_batch_device
+from bitmapperbs_tpu.models.finalize import finalize_batch
 from bitmapperbs_tpu.oracle.pipeline import Hit, finalize_hit
 from bitmapperbs_tpu.utils import dna
 
@@ -87,15 +88,14 @@ def map_batch_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
             stats.overflow_reads += int(
                 np.asarray(out["overflow"])[:len(chunk)].sum())
         hits = device_results_to_hits(cfg, idx.genome.length, lengths, out)
-        for i, (best, second) in enumerate(hits[:len(chunk)]):
-            read = np.asarray(chunk[i], dtype=np.uint8)
-            qual, qname = quals[lo + i], qnames[lo + i]
-            rec = None
-            if best is not None:
-                rec = finalize_hit(idx, rc_ref, cfg, read, qual, qname,
-                                   best, second)
+        recs = finalize_batch(idx, rc_ref, cfg, chunk,
+                              quals[lo:lo + len(chunk)],
+                              qnames[lo:lo + len(chunk)], hits[:len(chunk)])
+        for i, rec in enumerate(recs):
             if rec is None:
-                rec = unmapped_record(qname, read, qual)
+                rec = unmapped_record(qnames[lo + i],
+                                      np.asarray(chunk[i], np.uint8),
+                                      quals[lo + i])
             out_recs.append(rec)
 
     pending = []
@@ -223,9 +223,10 @@ def _assemble_pair(idx, rc_ref, cfg, reads, q, qn, host, i, L, e,
         a1, a2 = int(host["pair_a1"][i]), int(host["pair_a2"][i])
         f1 = a1 if bp1 >> 1 == K.BLOCK_FWD else L - a1 - m1
         f2 = a2 if bp2 >> 1 == K.BLOCK_FWD else L - a2 - m2
-        h1 = Hit(0, f1, bp1 >> 1, bp1 & 1, a1)
-        h2 = Hit(0, f2, bp2 >> 1, bp2 & 1, a2)
+        s1 = int(host["pair_s1"][i])
         ssum = int(host["pair_sum"][i])
+        h1 = Hit(s1, f1, bp1 >> 1, bp1 & 1, a1)
+        h2 = Hit(ssum - s1, f2, bp2 >> 1, bp2 & 1, a2)
         s2sum = int(host["pair_second_sum"][i])
         if s2sum < int(2 * _INF) and s2sum == ssum:
             mapq = 0

@@ -75,6 +75,7 @@ def map_batch_pe_device(dix: DeviceIndex, cfg: AlignerConfig,
              jnp.full(B, INVALID, U32), jnp.full(B, 127, jnp.int32),
              jnp.full(B, 127, jnp.int32))
     best = WORST
+    best_s1 = jnp.full(B, INF, jnp.int32)   # payload: mate-1 score of best
 
     def pair_grid(i1, i2):
         s1, f1 = g1["score"][:, i1], g1["fwd"][:, i1]        # B,Kc
@@ -107,14 +108,21 @@ def map_batch_pe_device(dix: DeviceIndex, cfg: AlignerConfig,
         w1 = jnp.where(ssum == smin[:, None, None],
                        jnp.broadcast_to(f1, ssum.shape), INVALID)
         f1min = w1.reshape(B, -1).min(axis=-1)
-        w2 = jnp.where((ssum == smin[:, None, None])
-                       & (jnp.broadcast_to(f1, ssum.shape) == f1min[:, None, None]),
-                       jnp.broadcast_to(f2, ssum.shape), INVALID)
+        m2sel = (ssum == smin[:, None, None]) & (
+            jnp.broadcast_to(f1, ssum.shape) == f1min[:, None, None])
+        w2 = jnp.where(m2sel, jnp.broadcast_to(f2, ssum.shape), INVALID)
         f2min = w2.reshape(B, -1).min(axis=-1)
         cand = (smin, f1min, f2min,
                 jnp.full(B, bp1, jnp.int32), jnp.full(B, bp2, jnp.int32))
+        # mate-1 score of the selected candidate (payload for finalize's
+        # ungapped-at-score test; the selected cell is unique per read)
+        s1b = jnp.broadcast_to(g1["score"][:, i1][:, :, None], ssum.shape)
+        m3sel = m2sel & (jnp.broadcast_to(f2, ssum.shape)
+                         == f2min[:, None, None])
+        s1min = jnp.where(m3sel, s1b, INF).reshape(B, -1).min(axis=-1)
         take = _lex_lt(cand, best)
         best = tuple(jnp.where(take, c, b) for c, b in zip(cand, best))
+        best_s1 = jnp.where(take, s1min, best_s1)
         pair_data.append((ssum, f1, f2, bp1, bp2))
 
     psum, pf1, pf2, pbp1, pbp2 = best
@@ -240,6 +248,7 @@ def map_batch_pe_device(dix: DeviceIndex, cfg: AlignerConfig,
         "pair_valid": pair_valid,
         "gdrop": g1["gdrop"] | g2["gdrop"],
         "pair_sum": psum, "pair_second_sum": second_sum,
+        "pair_s1": best_s1,
         "pair_a1": pa1, "pair_bp1": pbp1,
         "pair_a2": pa2, "pair_bp2": pbp2,
         "se1": se1, "se2": se2,

@@ -78,16 +78,19 @@ def edit_distance(window: np.ndarray, read: np.ndarray) -> int:
     return int(edit_matrix(window, read)[len(read)].min())
 
 
-def traceback(window: np.ndarray, read: np.ndarray):
+def traceback(window: np.ndarray, read: np.ndarray, D=None):
     """Optimal semi-global alignment -> (dist, ref_start, cigar_ops).
 
     cigar_ops: list of (op, length), op in "MID", read-global, in frame
     coordinates.  ref interval is [ref_start, ref_start + ref_span) within
     `window`.  Deterministic tie-break: diag > D (ref gap) > I (read gap);
     end column = smallest j with minimal D[m, j].
+    D: optional precomputed edit_matrix(window, read) (the batched
+    finalizer computes DPs for many reads at once -- models/finalize.py).
     """
     m = len(read)
-    D = edit_matrix(window, read)
+    if D is None:
+        D = edit_matrix(window, read)
     j = int(np.argmin(D[m]))  # smallest index of the min
     i = m
     ops: list[str] = []
@@ -176,27 +179,53 @@ def cigar_md_nm(window: np.ndarray, read: np.ndarray, ref_start: int,
     i, j = 0, ref_start
     for op, ln in cigar:
         if op == "M":
-            for _ in range(ln):
-                r, d = int(window[j]), int(read[i])
-                if asym_match(np.array(r), np.array(d), ga=ga):
-                    md_run += 1
-                    if r == ref_c:
-                        ctx = (meth_context(genome, gpos + j, ga)
-                               if genome is not None else "z")
-                        xm.append(ctx.upper() if d == read_meth else ctx)
-                    else:
-                        xm.append(".")
+            # vectorized per run (the per-character version dominated the
+            # host finalize profile)
+            r = np.asarray(window[j:j + ln])
+            d = np.asarray(read[i:i + ln])
+            match = asym_match(r, d, ga=ga)
+            is_c = match & (r == ref_c)
+            if genome is not None and is_c.any():
+                q = gpos + j + np.flatnonzero(is_c)
+                Lg = len(genome)
+                if ga:
+                    b1 = np.where((q - 1 >= 0) & (q - 1 < Lg),
+                                  genome[np.clip(q - 1, 0, Lg - 1)], K.N_CODE)
+                    b2 = np.where((q - 2 >= 0) & (q - 2 < Lg),
+                                  genome[np.clip(q - 2, 0, Lg - 1)], K.N_CODE)
+                    gsym = K.C
                 else:
-                    nm += 1
-                    md_parts.append(str(md_run))
-                    md_parts.append("ACGTN"[r])
-                    md_run = 0
-                    xm.append(".")
-                i += 1
-                j += 1
+                    b1 = np.where(q + 1 < Lg, genome[np.clip(q + 1, 0, Lg - 1)],
+                                  K.N_CODE)
+                    b2 = np.where(q + 2 < Lg, genome[np.clip(q + 2, 0, Lg - 1)],
+                                  K.N_CODE)
+                    gsym = K.G
+                ctx = np.where(
+                    b1 == gsym, ord("z"),
+                    np.where(b1 == K.N_CODE, ord("u"),
+                             np.where(b2 == gsym, ord("x"),
+                                      np.where(b2 == K.N_CODE, ord("u"),
+                                               ord("h"))))).astype(np.uint8)
+            else:
+                ctx = np.full(int(is_c.sum()), ord("z"), dtype=np.uint8)
+            meth = d[is_c] == read_meth
+            xm_run = np.full(ln, ord("."), dtype=np.uint8)
+            xm_run[is_c] = np.where(meth, ctx - 32, ctx)
+            xm.append(xm_run.tobytes().decode())
+            mm = np.flatnonzero(~match)
+            nm += len(mm)
+            prev = 0
+            for q in mm:
+                md_parts.append(str(md_run + int(q) - prev))
+                md_parts.append("ACGTN"[int(r[q])])
+                md_run = 0
+                prev = int(q) + 1
+            md_run += ln - prev
+            i += ln
+            j += ln
         elif op == "I":
             nm += ln
-            xm.extend("." * ln)
+            xm.append("." * ln)
             i += ln
         else:  # D
             nm += ln

@@ -166,7 +166,8 @@ def finalize_hit(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
                  read: np.ndarray, qual: str, qname: str,
                  best: Hit, second: Hit | None,
                  flag_extra: int = 0,
-                 mapq_override: int | None = None) -> SamRecord | None:
+                 mapq_override: int | None = None,
+                 traceback_D=None) -> SamRecord | None:
     """Traceback + SAM field construction (C13/C14/C18 host side).
 
     Shared verbatim by the oracle and the device pipeline's host stage.
@@ -179,11 +180,16 @@ def finalize_hit(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
     frame_ref = idx.genome.codes if b == K.BLOCK_FWD else rc_ref
     frame_read = read if p == K.PAT_CT else dna.revcomp(read)
 
-    if cfg.indels:
+    if cfg.indels and align.hamming(
+            frame_slice(frame_ref, a, m), frame_read) != best.score:
         window = frame_slice(frame_ref, a - e, m + 2 * e)
-        dist, ref_start, cigar = align.traceback(window, frame_read)
+        dist, ref_start, cigar = align.traceback(window, frame_read,
+                                                 D=traceback_D)
         frame_pos = a - e + ref_start
     else:
+        # frozen rule: when an ungapped alignment at the anchor achieves the
+        # reported score, emit it (ties prefer no gaps) -- this is also the
+        # batched finalizer's vectorized fast path (models/finalize.py)
         cigar = [("M", m)]
         frame_pos = a
     ref_span = align.cigar_ref_span(cigar)

@@ -1,0 +1,79 @@
+"""Batched finalizer vs the per-read spec (oracle/pipeline.finalize_hit):
+records must be byte-identical, including MD/XM/flags and rejections."""
+import numpy as np
+import pytest
+
+from bitmapperbs_tpu.config import AlignerConfig
+from bitmapperbs_tpu.index.build import build_index
+from bitmapperbs_tpu.models.finalize import finalize_batch
+from bitmapperbs_tpu.oracle.pipeline import finalize_hit, map_read_se
+from bitmapperbs_tpu.utils import dna
+from bitmapperbs_tpu.utils.simulate import random_genome_fasta, simulate_reads
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(17)
+    idx = build_index(random_genome_fasta(rng, contigs=(4000, 1500)))
+    return idx, dna.revcomp(idx.genome.codes)
+
+
+@pytest.mark.parametrize("nd,indels", [(False, True), (True, True),
+                                       (False, False)])
+def test_batch_matches_per_read(setup, rng, nd, indels):
+    idx, rc_ref = setup
+    cfg = AlignerConfig(max_errors=4, indels=indels, non_directional=nd,
+                        read_len_bucket=96)
+    protos = ("OT", "OB", "CTOT", "CTOB") if nd else ("OT", "OB")
+    sims = simulate_reads(idx.genome, 80, read_len=80, seed=41,
+                          sub_rate=0.03, indel_rate=0.01 if indels else 0.0,
+                          protocols=protos)
+    for s, cut in zip(sims, rng.integers(55, 81, len(sims))):
+        s.codes = s.codes[:cut]
+        s.qual = s.qual[:cut]
+    reads = [s.codes for s in sims]
+    quals = [s.qual for s in sims]
+    qnames = [f"r{i}" for i in range(len(sims))]
+    hits = [map_read_se(idx, rc_ref, cfg, np.asarray(r))[:2] for r in reads]
+
+    got = finalize_batch(idx, rc_ref, cfg, reads, quals, qnames, hits)
+    n_mapped = 0
+    for i, (best, second) in enumerate(hits):
+        want = None
+        if best is not None:
+            want = finalize_hit(idx, rc_ref, cfg, np.asarray(reads[i]),
+                                quals[i], qnames[i], best, second)
+        if want is None:
+            assert got[i] is None, (i, got[i])
+        else:
+            n_mapped += 1
+            assert got[i] is not None, i
+            assert got[i].line() == want.line(), (
+                i, "\n" + got[i].line() + "\n" + want.line())
+    assert n_mapped > 50
+
+
+def test_batch_near_contig_edges(setup):
+    """Reads at pad boundaries exercise context N-fill and rejection."""
+    idx, rc_ref = setup
+    cfg = AlignerConfig(max_errors=2, indels=True, read_len_bucket=64)
+    reads, hits = [], []
+    for coord in (0, 1, int(idx.genome.lengths[0]) - 50):
+        start = int(idx.genome.offsets[0]) + coord
+        frag = idx.genome.codes[start:start + 50]
+        read = np.where(frag == 1, 3, frag).astype(np.uint8)  # OT converted
+        reads.append(read)
+        best, second, _ = map_read_se(idx, rc_ref, cfg, read)
+        hits.append((best, second))
+    quals = [""] * len(reads)
+    qnames = [f"e{i}" for i in range(len(reads))]
+    got = finalize_batch(idx, rc_ref, cfg, reads, quals, qnames, hits)
+    for i, (best, second) in enumerate(hits):
+        want = None
+        if best is not None:
+            want = finalize_hit(idx, rc_ref, cfg, reads[i], quals[i],
+                                qnames[i], best, second)
+        if want is None:
+            assert got[i] is None
+        else:
+            assert got[i].line() == want.line()
