@@ -161,6 +161,14 @@ def cmd_search(args) -> int:
                          f"(run: bitmapperbs_tpu index {args.ref})\n")
         return 2
     cfg = make_config(args)
+    idx = load_index(prefix)
+
+    # finalize worker pool (-t): fork BEFORE any jax device op so workers
+    # never inherit device state (models/host.make_finalize_pool)
+    pool = None
+    if not args.oracle and args.threads > 1:
+        from bitmapperbs_tpu.models.host import make_finalize_pool
+        pool = make_finalize_pool(idx, cfg, args.threads)
 
     # multi-host (SURVEY.md 2.2/5.8): record-strided FASTQ shard per host,
     # per-host SAM shard, global stats psum at the end
@@ -174,8 +182,6 @@ def cmd_search(args) -> int:
             args.output = multihost.shard_path(args.output, pid, nproc)
         sys.stderr.write(f"[bitmapperbs_tpu] host {pid}/{nproc} -> "
                          f"{args.output}\n")
-
-    idx = load_index(prefix)
 
     use_oracle = args.oracle
     if not use_oracle:
@@ -245,24 +251,43 @@ def cmd_search(args) -> int:
         reader = FastqReader(args.seq, cfg.batch_size, args.phred64,
                              resume_offset=resume["offset"],
                              resume_record=resume["record"])
-        for batch in reader:
-            codes, qnames, quals = batch.codes, batch.qnames, batch.quals
-            if shard is not None:
-                codes, qnames, quals = shard.filter_batch(
-                    codes, qnames, quals, batch.start_record)
-                if not codes:
-                    save_cursor(batch.start_record + len(batch),
-                                batch.end_offset)
-                    continue
+        # group `threads` reader batches per call so the finalize pool has
+        # cross-batch work; cursor granularity becomes the group
+        group_n = max(1, args.threads)
+        gbuf: list = []
+        last = [None]
+
+        def flush_group():
+            if not gbuf:
+                return
+            codes = [c for g in gbuf for c in g[0]]
+            qnames = [c for g in gbuf for c in g[1]]
+            quals = [c for g in gbuf for c in g[2]]
+            gbuf.clear()
             if use_oracle:
                 from bitmapperbs_tpu.oracle.pipeline import map_batch_se
                 recs = map_batch_se(idx, cfg, codes, quals, qnames)
             else:
                 recs = map_batch_tpu(idx, dix, cfg, codes, quals, qnames,
-                                     stats=stats)
+                                     stats=stats, pool=pool)
             emit(recs, codes, qnames, quals)
             out_fh.flush()
-            save_cursor(batch.start_record + len(batch), batch.end_offset)
+            save_cursor(*last[0])
+
+        for batch in reader:
+            codes, qnames, quals = batch.codes, batch.qnames, batch.quals
+            last[0] = (batch.start_record + len(batch), batch.end_offset)
+            if shard is not None:
+                codes, qnames, quals = shard.filter_batch(
+                    codes, qnames, quals, batch.start_record)
+                if not codes:
+                    if not gbuf:
+                        save_cursor(*last[0])
+                    continue
+            gbuf.append((codes, qnames, quals))
+            if len(gbuf) >= group_n:
+                flush_group()
+        flush_group()
     else:
         for b1, b2 in read_pairs(args.seq1, args.seq2, cfg.batch_size,
                                  args.phred64):
@@ -283,7 +308,7 @@ def cmd_search(args) -> int:
                 recs = map_batch_pe(idx, cfg, prs, quals, b1.qnames)
             else:
                 recs = map_batch_pe_tpu(idx, dix, cfg, prs, quals, b1.qnames,
-                                        stats=stats)
+                                        stats=stats, pool=pool)
             flat_reads = [r for p in prs for r in p]
             flat_qn = [qn for qn in b1.qnames for _ in (0, 1)]
             flat_q = [q for p in quals for q in p]
@@ -313,6 +338,8 @@ def cmd_search(args) -> int:
         out_fh.close()
     if cursor_path and os.path.exists(cursor_path):
         os.unlink(cursor_path)  # completed: drop the resume cursor
+    if pool is not None:
+        pool.terminate()
     return 0
 
 

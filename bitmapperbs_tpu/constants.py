@@ -105,6 +105,9 @@ DEFAULT_SA_RATE = 8
 # (each +1 of k trades HBM and build time for one serial occ gather per seed).
 KLT_MAX_K = 14
 
+# ---- score sentinel (device pipelines and host decoding share it) -------
+INF_SCORE = 1 << 20
+
 # ---- SAM flags --------------------------------------------------------------
 FLAG_PAIRED = 0x1
 FLAG_PROPER = 0x2

@@ -35,7 +35,7 @@ def myers_fn(cfg: AlignerConfig):
 
 U32 = jnp.uint32
 INVALID = jnp.uint32(0xFFFFFFFF)
-INF = jnp.int32(1 << 20)
+INF = jnp.int32(K.INF_SCORE)
 
 
 def frames_for(cfg: AlignerConfig) -> list[tuple[int, int]]:

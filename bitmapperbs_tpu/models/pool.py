@@ -1,0 +1,257 @@
+"""Host finalize worker pool and the jax-free decode/assembly helpers.
+
+The host finalize is pure numpy/python and ~10x slower than the device
+mapping, so it fans out over SPAWNED worker processes (fork deadlocks under
+jax's threads).  This module is deliberately jax-free: spawn workers import
+it (plus oracle/io modules) without pulling in jax, and share the genome via
+memory-mapped files so per-worker memory stays O(1) even for GRCh38.
+SURVEY.md C19's pthread pool becomes this: the device replaces the mapping
+workers, worker processes replace the rest.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from bitmapperbs_tpu import constants as K
+from bitmapperbs_tpu.config import AlignerConfig
+from bitmapperbs_tpu.io.sam import SamRecord, unmapped_record
+from bitmapperbs_tpu.models.finalize import finalize_batch
+from bitmapperbs_tpu.oracle.pipeline import Hit, finalize_hit
+from bitmapperbs_tpu.utils import dna
+
+INF = K.INF_SCORE
+
+def device_results_to_hits(cfg: AlignerConfig, genome_len: int, lengths,
+                           out) -> list[tuple[Hit | None, Hit | None]]:
+    """Device output dict -> per-read (best, second) oracle Hits."""
+    bs = np.asarray(out["best_score"])
+    bp = np.asarray(out["best_bp"])
+    ba = np.asarray(out["best_anchor"])
+    ss = np.asarray(out["second_score"])
+    res = []
+    for i in range(len(bs)):
+        if bs[i] >= int(INF):
+            res.append((None, None))
+            continue
+        b, p = int(bp[i]) >> 1, int(bp[i]) & 1
+        a = int(ba[i])
+        fwd = a if b == K.BLOCK_FWD else genome_len - a - int(lengths[i])
+        best = Hit(int(bs[i]), fwd, b, p, a)
+        second = None
+        if ss[i] < int(INF):
+            second = Hit(int(ss[i]), 0, 0, 0, 0)  # only .score is consumed
+        res.append((best, second))
+    return res
+
+
+
+_POOL_CTX: dict = {}
+
+
+def _pool_worker_init(codes_path, rc_path, L, names, offsets, lengths, cfg):
+    from bitmapperbs_tpu.index.build import Genome
+
+    codes = np.memmap(codes_path, dtype=np.uint8, mode="r", shape=(L,))
+    rc = np.memmap(rc_path, dtype=np.uint8, mode="r", shape=(L,))
+    genome = Genome(names=names, offsets=offsets, lengths=lengths,
+                    codes=codes)
+
+    class _SlimIndex:
+        pass
+
+    idx = _SlimIndex()
+    idx.genome = genome
+    _POOL_CTX["idx"] = idx
+    _POOL_CTX["rc_ref"] = rc
+    _POOL_CTX["cfg"] = cfg
+
+
+def _finalize_se_task(args):
+    """Worker: device outputs -> SamRecords (hits + finalize + unmapped).
+
+    Takes the PADDED read array + lengths (one pickle each) and the numpy
+    device-output dict; everything per-read happens in the worker."""
+    idx = _POOL_CTX["idx"]
+    rc_ref = _POOL_CTX["rc_ref"]
+    cfg = _POOL_CTX["cfg"]
+    arr, lengths, n, quals, qnames, out_np = args
+    chunk = [arr[i, :lengths[i]] for i in range(n)]
+    hits = device_results_to_hits(cfg, idx.genome.length, lengths, out_np)
+    recs = finalize_batch(idx, rc_ref, cfg, chunk, quals, qnames, hits[:n])
+    return [rec if rec is not None
+            else unmapped_record(qnames[i], np.asarray(chunk[i], np.uint8),
+                                 quals[i])
+            for i, rec in enumerate(recs)]
+
+
+def make_finalize_pool(idx: BSIndex, cfg: AlignerConfig, threads: int,
+                       tmpdir: str | None = None):
+    """Spawn a finalize pool (or None for in-process).
+
+    Writes the genome (both orientations) to memory-mapped temp files once;
+    each worker maps them read-only (page cache shared across workers)."""
+    if threads <= 1:
+        return None
+    import multiprocessing
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="btbs_pool_", dir=tmpdir)
+    codes_path = os.path.join(d, "codes.u8")
+    rc_path = os.path.join(d, "rc.u8")
+    idx.genome.codes.astype(np.uint8).tofile(codes_path)
+    dna.revcomp(idx.genome.codes).astype(np.uint8).tofile(rc_path)
+    ctx = multiprocessing.get_context("spawn")
+    # workers are numpy-only: strip any site hook that would preload or
+    # attach an accelerator runtime in every child (e.g. a sitecustomize
+    # that grabs the TPU tunnel -- single-tenant, so workers would hang)
+    saved = os.environ.get("PYTHONPATH")
+    if saved is not None:
+        os.environ["PYTHONPATH"] = os.pathsep.join(
+            p for p in saved.split(os.pathsep) if "site" not in
+            os.path.basename(p) and "axon" not in p)
+    try:
+        return ctx.Pool(
+            threads, initializer=_pool_worker_init,
+            initargs=(codes_path, rc_path, idx.genome.length,
+                      idx.genome.names, idx.genome.offsets,
+                      idx.genome.lengths, cfg))
+    finally:
+        if saved is not None:
+            os.environ["PYTHONPATH"] = saved
+
+
+
+def _finalize_se_task_local(idx, rc_ref, cfg, task):
+    arr, lengths, n, quals, qnames, out_np = task
+    chunk = [arr[i, :lengths[i]] for i in range(n)]
+    hits = device_results_to_hits(cfg, idx.genome.length, lengths, out_np)
+    recs = finalize_batch(idx, rc_ref, cfg, chunk, quals, qnames, hits[:n])
+    return [rec if rec is not None
+            else unmapped_record(qnames[i], np.asarray(chunk[i], np.uint8),
+                                 quals[i])
+            for i, rec in enumerate(recs)]
+
+
+
+def _assemble_pe_task(args):
+    idx = _POOL_CTX["idx"]
+    rc_ref = _POOL_CTX["rc_ref"]
+    cfg = _POOL_CTX["cfg"]
+    return _assemble_pe_local(idx, rc_ref, cfg, *args)
+
+
+def _assemble_pe_local(idx, rc_ref, cfg, a1, l1, a2, l2, n, quals, qnames,
+                       host):
+    from bitmapperbs_tpu.oracle import paired as opaired
+    from bitmapperbs_tpu import constants as K2
+
+    e = cfg.max_errors
+    L = idx.genome.length
+    recs: list[SamRecord] = []
+    for i in range(n):
+        reads = (a1[i, :l1[i]], a2[i, :l2[i]])
+        q = quals[i] if quals else ("", "")
+        qn = qnames[i] if qnames else f"p{i}"
+        recs.extend(_assemble_pair(idx, rc_ref, cfg, reads, q, qn,
+                                   host, i, L, e, opaired, K2))
+    return recs
+
+
+
+def _se_hit_from(host_se, i, m, L):
+    _INF = K.INF_SCORE
+    if host_se["best_score"][i] >= int(_INF):
+        return None, None
+    bp = int(host_se["best_bp"][i])
+    b, p = bp >> 1, bp & 1
+    a = int(host_se["best_anchor"][i])
+    fwd = a if b == K.BLOCK_FWD else L - a - m
+    best = Hit(int(host_se["best_score"][i]), fwd, b, p, a)
+    second = None
+    if host_se["second_score"][i] < int(_INF):
+        second = Hit(int(host_se["second_score"][i]), 0, 0, 0, 0)
+    return best, second
+
+
+
+def _assemble_pair(idx, rc_ref, cfg, reads, q, qn, host, i, L, e,
+                   opaired, K2):
+    _INF = K.INF_SCORE
+    m1, m2 = len(reads[0]), len(reads[1])
+
+    if host["pair_valid"][i]:
+        bp1, bp2 = int(host["pair_bp1"][i]), int(host["pair_bp2"][i])
+        a1, a2 = int(host["pair_a1"][i]), int(host["pair_a2"][i])
+        f1 = a1 if bp1 >> 1 == K.BLOCK_FWD else L - a1 - m1
+        f2 = a2 if bp2 >> 1 == K.BLOCK_FWD else L - a2 - m2
+        s1 = int(host["pair_s1"][i])
+        ssum = int(host["pair_sum"][i])
+        h1 = Hit(s1, f1, bp1 >> 1, bp1 & 1, a1)
+        h2 = Hit(ssum - s1, f2, bp2 >> 1, bp2 & 1, a2)
+        s2sum = int(host["pair_second_sum"][i])
+        if s2sum < int(2 * _INF) and s2sum == ssum:
+            mapq = 0
+        else:
+            mapq = K.mapq_from_gap(ssum,
+                                   s2sum if s2sum < int(2 * _INF) else None)
+        recs = opaired._emit_pair(idx, rc_ref, cfg, reads, q, qn,
+                                  h1, h2, mapq, mapq)
+        if recs:
+            return recs
+
+    if host["resc_valid"][i]:
+        anch_is_1 = bool(host["resc_anch_is_1"][i])
+        se_a = host["se1"] if anch_is_1 else host["se2"]
+        m_anch = m1 if anch_is_1 else m2
+        m_miss = m2 if anch_is_1 else m1
+        anchored, anch_second = _se_hit_from(se_a, i, m_anch, L)
+        if anchored is not None:
+            b = int(host["resc_block"][i])
+            p = int(host["resc_pat"][i])
+            fwd = int(host["resc_fwd"][i])
+            a = fwd if b == K.BLOCK_FWD else L - fwd - m_miss
+            rb = Hit(int(host["resc_score"][i]), fwd, b, p, a)
+            rsecond = int(host["resc_second"][i])
+            rsecond = rsecond if rsecond < int(_INF) else None
+            anch_amb = anch_second is not None and \
+                anch_second.score == anchored.score
+            anch_mapq = 0 if anch_amb else K.mapq_from_gap(
+                anchored.score, anch_second.score if anch_second else None)
+            resc_mapq = 0 if (rsecond is not None and rsecond == rb.score) \
+                else K.mapq_from_gap(rb.score, rsecond)
+            mapq = min(anch_mapq, resc_mapq)
+            ordered = (anchored, rb) if anch_is_1 else (rb, anchored)
+            recs = opaired._emit_pair(idx, rc_ref, cfg, reads, q, qn,
+                                      ordered[0], ordered[1], mapq, mapq)
+            if recs:
+                return recs
+
+    # discordant / singleton fallback
+    sel = [_se_hit_from(host["se1"], i, m1, L),
+           _se_hit_from(host["se2"], i, m2, L)]
+    recs = []
+    for mi in (0, 1):
+        best, second = sel[mi]
+        mate_best = sel[1 - mi][0]
+        extra = K.FLAG_PAIRED | (K.FLAG_READ1 if mi == 0 else K.FLAG_READ2)
+        if mate_best is None:
+            extra |= K.FLAG_MATE_UNMAPPED
+        elif K.IS_REVERSE[(mate_best.block, mate_best.pat)]:
+            extra |= K.FLAG_MATE_REVERSE
+        rec = None
+        if best is not None:
+            rec = finalize_hit(idx, rc_ref, cfg, reads[mi], q[mi], qn,
+                               best, second, flag_extra=extra)
+        if rec is None:
+            rec = unmapped_record(qn, reads[mi], q[mi], flag_extra=extra)
+        recs.append(rec)
+    r1r, r2r = recs
+    if not (r1r.flag & K.FLAG_UNMAPPED) and not (r2r.flag & K.FLAG_UNMAPPED):
+        if r1r.rname == r2r.rname:
+            r1r.rnext = r2r.rnext = "="
+        else:
+            r1r.rnext, r2r.rnext = r2r.rname, r1r.rname
+        r1r.pnext, r2r.pnext = r2r.pos, r1r.pos
+    return recs
