@@ -185,9 +185,23 @@ def cmd_search(args) -> int:
 
     use_oracle = args.oracle
     if not use_oracle:
+        import jax
+
         from bitmapperbs_tpu.index.device import upload_index
         from bitmapperbs_tpu.models.host import (map_batch_pe_tpu,
                                                  map_batch_tpu)
+        # persistent XLA compilation cache: the mapping jits take 30-60s to
+        # compile; repeat runs with the same shapes/config start instantly
+        cache_dir = os.environ.get(
+            "BITMAPPERBS_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "bitmapperbs_tpu", "jax"))
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        except Exception:  # cache is an optimization, never fatal
+            pass
         dix = upload_index(idx)
 
     cursor_path = (args.output + ".cursor") if args.output != "-" else None
