@@ -251,10 +251,11 @@ def cmd_search(args) -> int:
             if args.unmapped_out and rec.flag & K.FLAG_UNMAPPED:
                 unmapped.append((r, qn, q))
 
-    def save_cursor(record, offset):
+    def save_cursor(record, offset, offset2=0):
         if cursor_path:
             with open(cursor_path, "w") as f:
                 json.dump({"record": record, "offset": offset,
+                           "offset2": offset2,
                            "out_pos": out_fh.tell()}, f)
 
     from bitmapperbs_tpu.utils.profiling import device_trace
@@ -304,7 +305,10 @@ def cmd_search(args) -> int:
         flush_group()
     else:
         for b1, b2 in read_pairs(args.seq1, args.seq2, cfg.batch_size,
-                                 args.phred64):
+                                 args.phred64,
+                                 resume_offsets=(resume["offset"],
+                                                 resume.get("offset2", 0)),
+                                 resume_record=resume["record"]):
             prs = list(zip(b1.codes, b2.codes))
             quals = list(zip(b1.quals, b2.quals))
             qn = b1.qnames
@@ -328,6 +332,8 @@ def cmd_search(args) -> int:
             flat_q = [q for p in quals for q in p]
             emit(recs, flat_reads, flat_qn, flat_q)
             out_fh.flush()
+            save_cursor(b1.start_record + len(b1), b1.end_offset,
+                        b2.end_offset)
 
     trace_ctx.__exit__(None, None, None)
     if args.profile:

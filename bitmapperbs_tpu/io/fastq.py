@@ -81,10 +81,18 @@ class FastqReader:
         return ReadBatch(qnames, codes, quals, start, self._offset)
 
 
-def read_pairs(path1, path2, batch_size: int = 4096, phred64: bool = False):
-    """Synchronized paired FASTQ iteration -> (batch1, batch2) tuples."""
-    r1 = FastqReader(path1, batch_size, phred64)
-    r2 = FastqReader(path2, batch_size, phred64)
+def read_pairs(path1, path2, batch_size: int = 4096, phred64: bool = False,
+               resume_offsets=(0, 0), resume_record: int = 0):
+    """Synchronized paired FASTQ iteration -> (batch1, batch2) tuples.
+
+    Resumable from (per-file byte offsets, pair record index) -- the PE
+    cursor checkpoint (SURVEY.md 5.3/5.4)."""
+    r1 = FastqReader(path1, batch_size, phred64,
+                     resume_offset=resume_offsets[0],
+                     resume_record=resume_record)
+    r2 = FastqReader(path2, batch_size, phred64,
+                     resume_offset=resume_offsets[1],
+                     resume_record=resume_record)
     while True:
         try:
             b1 = next(r1)

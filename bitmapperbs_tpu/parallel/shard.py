@@ -122,6 +122,39 @@ def make_sharded_se_mapper(cfg: AlignerConfig, mesh: Mesh,
     return jax.jit(fn)
 
 
+def make_sharded_pe_mapper(cfg: AlignerConfig, mesh: Mesh,
+                           dix: DeviceIndex):
+    """Paired-end analogue of make_sharded_se_mapper: pairs sharded over
+    'data', index replicated or sharded over 'idx'; the output pytree
+    (including the nested se1/se2 dicts) is data-sharded."""
+    from bitmapperbs_tpu.models.paired import map_batch_pe_device
+
+    idx_axis = dix.idx_axis
+    specs = _dix_specs(dix, idx_axis)
+
+    def local(dix_l, r1, l1, r2, l2):
+        return map_batch_pe_device(dix_l, cfg, r1, l1, r2, l2)
+
+    d = P("data")
+    se_spec = {k: d for k in ("best_score", "best_bp", "best_anchor",
+                              "second_score", "overflow", "gdrop")}
+    out_specs = {
+        "pair_valid": d, "gdrop": d, "pair_sum": d, "pair_second_sum": d,
+        "pair_s1": d, "pair_a1": d, "pair_bp1": d, "pair_a2": d,
+        "pair_bp2": d, "se1": dict(se_spec), "se2": dict(se_spec),
+        "resc_valid": d, "resc_anch_is_1": d, "resc_fwd": d,
+        "resc_score": d, "resc_second": d, "resc_block": d, "resc_pat": d,
+    }
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(specs, P("data", None), P("data"), P("data", None),
+                  P("data")),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def global_stats(out, mesh: Mesh):
     """psum'd device counters (SURVEY.md 5.5): mapped / overflow counts."""
     from bitmapperbs_tpu.models.aligner import INF

@@ -125,3 +125,53 @@ def test_resume_truncates_unacknowledged_output(tmp_path):
     got = [l for l in open(out).read().splitlines() if not l.startswith("@")]
     want = [l.rstrip("\n") for l in recs]
     assert got == want
+
+
+def test_pe_sigkill_and_resume(tmp_path):
+    """PE runs checkpoint a (record, offset1, offset2) cursor and resume
+    exactly like SE."""
+    from bitmapperbs_tpu.index.build import build_index, save_index
+    from bitmapperbs_tpu.io.fastq import write_fastq
+    from bitmapperbs_tpu.utils.simulate import (random_genome_fasta,
+                                                simulate_pairs)
+
+    rng = np.random.default_rng(13)
+    ref = tmp_path / "ref.fa"
+    ref.write_text(random_genome_fasta(rng, contigs=(3000,)))
+    idx = build_index(str(ref))
+    save_index(idx, str(ref) + ".btidx")
+    prs = simulate_pairs(idx.genome, 30, read_len=60, seed=14, sub_rate=0.01,
+                         min_insert=120, max_insert=300)
+    for mate in (0, 1):
+        write_fastq(str(tmp_path / f"r{mate+1}.fq"),
+                    [p[mate].codes for p in prs],
+                    [f"p{i}" for i in range(len(prs))],
+                    ["I" * 60 for _ in prs])
+    base = ["search", str(ref), "--seq1", str(tmp_path / "r1.fq"),
+            "--seq2", str(tmp_path / "r2.fq"), "--pe", "--min", "100",
+            "--max", "350", "--oracle", "--batch-size", "4",
+            "--read-bucket", "64"]
+
+    ok = tmp_path / "full.sam"
+    p = _cli_subprocess(base + ["-o", str(ok)])
+    _, err = p.communicate(timeout=600)
+    assert p.returncode == 0, err.decode()
+
+    out = tmp_path / "crash.sam"
+    cursor = str(out) + ".cursor"
+    p = _cli_subprocess(base + ["-o", str(out)])
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if os.path.exists(cursor) or p.poll() is not None:
+            break
+        time.sleep(0.05)
+    if p.poll() is None:
+        os.kill(p.pid, signal.SIGKILL)
+        p.wait(timeout=60)
+    if os.path.exists(cursor):
+        p = _cli_subprocess(base + ["-o", str(out), "--resume"])
+        _, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()
+    want = [l for l in open(ok).read().splitlines() if not l.startswith("@")]
+    got = [l for l in open(out).read().splitlines() if not l.startswith("@")]
+    assert got == want

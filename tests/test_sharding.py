@@ -78,3 +78,41 @@ def test_batch_split_invariance(setup):
     for k in ("best_score", "best_bp", "best_anchor", "second_score"):
         np.testing.assert_array_equal(
             np.concatenate([h1[k], h2[k]]), full[k], err_msg=k)
+
+
+def test_pe_data_parallel_matches_single_device(setup):
+    """PE pipeline under shard_map == single-device PE, bitwise."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from bitmapperbs_tpu.models.paired import map_batch_pe_device
+    from bitmapperbs_tpu.models.host import prepare_batch
+    from bitmapperbs_tpu.parallel.shard import make_sharded_pe_mapper
+    from bitmapperbs_tpu.utils.simulate import simulate_pairs
+
+    idx, cfg, _, _ = setup
+    dix = upload_index(idx)
+    pe_cfg = cfg.replace(paired=True, min_insert=100, max_insert=400,
+                         batch_size=32)
+    prs = simulate_pairs(idx.genome, 32, read_len=60, seed=61, sub_rate=0.01,
+                         min_insert=150, max_insert=350)
+    a1, l1 = prepare_batch([p[0].codes for p in prs], 64, 32)
+    a2, l2 = prepare_batch([p[1].codes for p in prs], 64, 32)
+    args = tuple(jnp.asarray(x) for x in (a1, l1, a2, l2))
+
+    single = map_batch_pe_device(dix, pe_cfg, *args)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    fn = make_sharded_pe_mapper(pe_cfg.replace(batch_size=4), mesh, dix)
+    with mesh:
+        sharded = fn(dix, *args)
+
+    def cmp(a, b):
+        for k in a:
+            if isinstance(a[k], dict):
+                cmp(a[k], b[k])
+            else:
+                np.testing.assert_array_equal(np.asarray(a[k]),
+                                              np.asarray(b[k]), err_msg=k)
+    cmp(single, sharded)
