@@ -76,6 +76,8 @@ def build_parser():
     se.add_argument("--phred64", action="store_true")
     se.add_argument("--unmapped-out", default=None,
                     help="write unmapped reads to this FASTQ")
+    se.add_argument("--ambiguous-out", default=None,
+                    help="write ambiguous (MAPQ 0) reads to this FASTQ")
     se.add_argument("--suppress-ambiguous", action="store_true",
                     help="do not report multi-mapping (MAPQ 0) reads")
     se.add_argument("--stats-json", default=None)
@@ -230,6 +232,7 @@ def cmd_search(args) -> int:
         ("ab" if bam else "a") if resume["record"] else ("wb" if bam else "w"))
     stats = MapStats()
     unmapped = []
+    ambiguous = []
     t0 = time.time()
 
     cl = "bitmapperbs_tpu " + " ".join(sys.argv[1:])
@@ -250,6 +253,9 @@ def cmd_search(args) -> int:
             stats.add_record(rec)
             if args.unmapped_out and rec.flag & K.FLAG_UNMAPPED:
                 unmapped.append((r, qn, q))
+            if args.ambiguous_out and rec.mapq == 0 \
+                    and not rec.flag & K.FLAG_UNMAPPED:
+                ambiguous.append((r, qn, q))
 
     def save_cursor(record, offset, offset2=0):
         if cursor_path:
@@ -354,6 +360,9 @@ def cmd_search(args) -> int:
     if args.unmapped_out and unmapped:
         write_fastq(args.unmapped_out, [u[0] for u in unmapped],
                     [u[1] for u in unmapped], [u[2] for u in unmapped])
+    if args.ambiguous_out and ambiguous:
+        write_fastq(args.ambiguous_out, [u[0] for u in ambiguous],
+                    [u[1] for u in ambiguous], [u[2] for u in ambiguous])
     if out_fh is not sys.stdout:
         out_fh.close()
     if cursor_path and os.path.exists(cursor_path):

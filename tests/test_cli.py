@@ -103,3 +103,36 @@ def test_cursor_resume(workdir):
     resumed = [l for l in out2.read_text().splitlines()
                if not l.startswith("@")]
     assert resumed == full
+
+
+def test_ambiguous_out(tmp_path):
+    """--ambiguous-out captures MAPQ-0 mapped reads (repeat genome)."""
+    import numpy as np
+    from bitmapperbs_tpu.cli import main
+    from bitmapperbs_tpu.index.build import build_index, save_index
+    from bitmapperbs_tpu.io.fastq import write_fastq
+    from bitmapperbs_tpu.utils.simulate import simulate_reads
+
+    rng = np.random.default_rng(3)
+    workdir = tmp_path
+    unit = "".join(rng.choice(list("ACGT"), size=500))
+    ref = workdir / "rep.fa"
+    ref.write_text(f">rep\n{unit}{unit}\n")
+    idx = build_index(str(ref))
+    save_index(idx, str(ref) + ".btidx")
+    sims = simulate_reads(idx.genome, 20, read_len=60, seed=4, sub_rate=0.0)
+    write_fastq(str(workdir / "r.fq"), [s.codes for s in sims],
+                [f"r{i}" for i in range(len(sims))],
+                ["I" * 60 for _ in sims])
+    out = workdir / "o.sam"
+    amb = workdir / "amb.fq"
+    assert main(["search", str(ref), "--seq", str(workdir / "r.fq"),
+                 "-o", str(out), "--oracle", "--batch-size", "20",
+                 "--read-bucket", "64", "--ambiguous-out", str(amb)]) == 0
+    n_amb_records = sum(1 for l in open(out)
+                        if not l.startswith("@")
+                        and l.split("\t")[4] == "0"
+                        and not int(l.split("\t")[1]) & 4)
+    assert n_amb_records > 10  # tandem repeat: most reads are ambiguous
+    n_fq = sum(1 for l in open(amb) if l.startswith("@"))
+    assert n_fq == n_amb_records
