@@ -165,8 +165,8 @@ def cmd_search(args) -> int:
     cfg = make_config(args)
     idx = load_index(prefix)
 
-    # finalize worker pool (-t): fork BEFORE any jax device op so workers
-    # never inherit device state (models/host.make_finalize_pool)
+    # finalize worker pool (-t): spawned before any jax device op; workers
+    # are numpy-only and share the genome via memmap (models/pool.py)
     pool = None
     if not args.oracle and args.threads > 1:
         from bitmapperbs_tpu.models.host import make_finalize_pool

@@ -46,15 +46,6 @@ def prepare_batch(reads, m_pad: int, batch: int | None = None):
 MAX_INFLIGHT = 3  # device batches dispatched ahead of host finalize
 
 
-# --------------------------------------------------------------------------
-# finalize worker pool (-t N): the host finalize is pure numpy/python and
-# ~10x slower than the device mapping, so it fans out over SPAWNED workers
-# (fork deadlocks under jax's threads).  Workers import only numpy-side
-# modules and share the genome via memory-mapped files, so per-worker memory
-# stays O(1) even for GRCh38.  SURVEY.md C19's pthread pool becomes this:
-# the device replaces the mapping workers, processes replace the rest.
-# --------------------------------------------------------------------------
-
 def map_batch_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
                   reads, quals=None, qnames=None, stats=None,
                   pool=None) -> list[SamRecord]:
