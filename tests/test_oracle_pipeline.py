@@ -178,3 +178,33 @@ def test_traceback_md_nm_roundtrip(rng):
         assert len(xm) == len(read)
         span = align.cigar_ref_span(cigar)
         assert ref_start + span <= len(ref)
+
+
+def test_bulk_simulator_reads_map_correctly():
+    """Vectorized bulk simulator produces reads that map to their truth
+    positions under the oracle (validates its strand/conversion math)."""
+    import numpy as np
+    from bitmapperbs_tpu import constants as K
+    from bitmapperbs_tpu.config import AlignerConfig
+    from bitmapperbs_tpu.index.build import build_index
+    from bitmapperbs_tpu.oracle.pipeline import map_read_se
+    from bitmapperbs_tpu.utils import dna
+    from bitmapperbs_tpu.utils.simulate import (random_genome_fasta,
+                                                simulate_reads_bulk)
+
+    rng = np.random.default_rng(33)
+    idx = build_index(random_genome_fasta(rng, contigs=(6000,)))
+    rc_ref = dna.revcomp(idx.genome.codes)
+    cfg = AlignerConfig(max_errors=3, indels=True, read_len_bucket=64)
+    protos = ("OT", "OB", "CTOT", "CTOB")
+    codes, ci, coord, si = simulate_reads_bulk(
+        idx.genome, 40, read_len=60, seed=9, sub_rate=0.01, protocols=protos)
+    cfg = cfg.replace(non_directional=True)
+    correct = 0
+    for i in range(len(codes)):
+        best, _, _ = map_read_se(idx, rc_ref, cfg, codes[i])
+        if best is None:
+            continue
+        true_fwd = int(idx.genome.offsets[ci[i]]) + int(coord[i])
+        correct += abs(best.fwd_anchor - true_fwd) <= cfg.max_errors
+    assert correct >= 36
