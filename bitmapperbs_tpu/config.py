@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
+
 
 @dataclasses.dataclass(frozen=True)
 class AlignerConfig:
@@ -42,7 +44,18 @@ class AlignerConfig:
     # overflows (reported per read as `gdrop`; the host then re-runs those
     # reads through the dense path, keeping output deterministic).
     compact: bool = True
-    locate_flat_cap: int = 16    # flat slots per read (buffer = B * this)
+    # flat slots per read (buffer = batch * this).  0 = genome-size adaptive:
+    # candidate counts grow ~linearly with genome size (the 3-letter
+    # converted alphabet makes seeds T-rich and heavy-tailed), so small
+    # genomes get a tight buffer and large ones approach the per-frame
+    # budget bound F * locate_budget, above which gdrop cannot occur.
+    locate_flat_cap: int = 0
+
+    def resolve_flat_cap(self, genome_len: int, num_frames: int) -> int:
+        hard = num_frames * self.locate_budget   # per-read entries never exceed
+        if self.locate_flat_cap > 0:
+            return min(self.locate_flat_cap, hard)
+        return int(np.clip(-(-genome_len // 1_500_000), 16, hard))
 
     # --- output ------------------------------------------------------------
     report_ambiguous: bool = True   # emit MAPQ-0 record vs suppress
@@ -67,5 +80,5 @@ class AlignerConfig:
             raise ValueError("min_insert > max_insert")
         if self.read_len_bucket % 32 != 0:
             raise ValueError("read_len_bucket must be a multiple of 32")
-        if self.locate_flat_cap < 1:
-            raise ValueError("locate_flat_cap must be >= 1")
+        if self.locate_flat_cap < 0:
+            raise ValueError("locate_flat_cap must be >= 0 (0 = auto)")

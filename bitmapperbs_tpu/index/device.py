@@ -32,7 +32,7 @@ class DeviceIndex:
     sa_samples: jax.Array   # uint32[2 * samples_max] (flat; shardable)
     n: jax.Array            # uint32[2] text lengths (incl sentinel)
     # original genome, bit-packed planes, fwd + rc orientations
-    g_planes: jax.Array     # uint32[2, 3, words]: [orient][bit0,bit1,nmask]
+    g_planes: jax.Array     # uint32[2, words, 3]: [orient][word][b0,b1,nmask]
     # k-mer lookup table (constants.py KLT): first klt_k backward-search
     # steps in one gather; small (<= 8.5 MB), always replicated.
     klt: jax.Array          # uint32[2 * 3^klt_k, 2] (flat over blocks)
@@ -73,11 +73,12 @@ def upload_index(idx: BSIndex, device=None) -> DeviceIndex:
     planes = idx.genome.packed_planes()
     words = len(planes["g0"])
     # leading zero word: ops/verify.window_planes biases starts by +32 so
-    # wrapped-negative window starts (anchor - e near position 0) resolve
-    gp = np.zeros((2, 3, words + 1), dtype=np.uint32)
+    # wrapped-negative window starts (anchor - e near position 0) resolve;
+    # plane-INTERLEAVED rows so one gather fetches all 3 planes of a word
+    gp = np.zeros((2, words + 1, 3), dtype=np.uint32)
     for oi, pref in enumerate(("g", "r")):
         for pi, suf in enumerate(("0", "1", "n")):
-            gp[oi, pi, 1:] = planes[pref + suf]
+            gp[oi, 1:, pi] = planes[pref + suf]
 
     klt_k = idx.blocks[0].klt_k
     assert all(b.klt_k == klt_k for b in idx.blocks)

@@ -282,7 +282,7 @@ def candidate_grids_compact(dix: DeviceIndex, cfg: AlignerConfig, reads,
     Wd = m // 32
     L = dix.genome_len
     R = B * F
-    CAP = B * cfg.locate_flat_cap
+    CAP = B * cfg.resolve_flat_cap(dix.genome_len, F)
 
     frame_reads, blocks, bp_codes, starts_l, sp, ep = _seed_stage(
         dix, cfg, reads, lengths, frames)

@@ -61,8 +61,10 @@ def window_planes(g_planes, orient, start, nwords: int, genome_len: int,
     """Extract `nwords` position-aligned uint32 words per lane from the
     packed genome planes, starting at (possibly wrapped-negative) `start`.
 
-    g_planes: uint32[2, 3, W] (orientation, [b0, b1, nmask], words), where
-    word 0 of every plane is a zero pad word (see upload_index) so that
+    g_planes: uint32[2, W, 3] (orientation, words, [b0, b1, nmask]) --
+    plane-INTERLEAVED so one 12-byte ROW gather fetches all three planes of
+    a word (TPU gather cost is per row; 3x fewer gathers than per-plane).
+    Word 0 of every plane is a zero pad word (see upload_index) so that
     wrapped-negative starts down to -32 resolve via the +32 bias below.
     orient:   int32 lanes (0 fwd / 1 rc); start: uint32 lanes.
     Out-of-range positions (start<0 via wraparound -- legal down to -32,
@@ -70,8 +72,8 @@ def window_planes(g_planes, orient, start, nwords: int, genome_len: int,
     oracle frame_slice exactly.
     Returns (b0, b1, nmask): each uint32[..., nwords].
     """
-    W = g_planes.shape[-1]          # local shard width when idx_axis is set
-    flat = g_planes.reshape(6, W)
+    W = g_planes.shape[1]           # local shard width when idx_axis is set
+    flat = g_planes.reshape(2 * W, 3)
     if idx_axis is not None:
         import jax as _jax
         Wg = W * _jax.lax.axis_size(idx_axis)
@@ -90,22 +92,15 @@ def window_planes(g_planes, orient, start, nwords: int, genome_len: int,
         shb = sh[..., None]
         return jnp.where(shb == 0, lo, (lo >> shb) | (hi << (U32(32) - shb)))
 
+    ob = orient.astype(jnp.int32)[..., None]
     if idx_axis is None:
-        # all three planes in ONE gather (per-gather fixed cost dominates)
-        pid = orient.astype(jnp.int32)[..., None, None] * 3 + jnp.arange(
-            3, dtype=jnp.int32)[:, None]                 # ..., 3, 1
-        comb = pid * W + rows[..., None, :]              # ..., 3, nwords+1
-        raw3 = flat.reshape(-1)[comb]
-        b0, b1, nm = (funnel(raw3[..., p, :]) for p in range(3))
+        raw3 = flat[ob * W + rows]                       # ..., nwords+1, 3
     else:
-        def plane(p):
-            pid = orient.astype(jnp.int32)[..., None] * 3 + p
-            local = rows - wbase
-            ok = (local >= 0) & (local < W)
-            raw = flat[pid, jnp.clip(local, 0, W - 1)]
-            return funnel(jax.lax.psum(jnp.where(ok, raw, 0), idx_axis))
-
-        b0, b1, nm = plane(0), plane(1), plane(2)
+        local = rows - wbase
+        ok = (local >= 0) & (local < W)
+        raw3 = flat[ob * W + jnp.clip(local, 0, W - 1)]
+        raw3 = jax.lax.psum(jnp.where(ok[..., None], raw3, 0), idx_axis)
+    b0, b1, nm = (funnel(raw3[..., p]) for p in range(3))
 
     # out-of-range -> N: per word, positions [ws, ws+32)
     ws = start[..., None] + jnp.arange(nwords, dtype=U32) * 32

@@ -38,14 +38,14 @@ def test_window_planes_matches_frame_slice(rng):
     genome = rng.integers(0, 4, L).astype(np.uint8)
     genome[rng.integers(0, L, 20)] = K.N_CODE
     rc = dna.revcomp(genome)
-    planes = np.zeros((2, 3, (L + 31) // 32 + 3), dtype=np.uint32)
+    planes = np.zeros((2, (L + 31) // 32 + 3, 3), dtype=np.uint32)
     from bitmapperbs_tpu.index.build import _pack_bits
     for oi, g in enumerate((genome, rc)):
         isn = g == K.N_CODE
         c = np.where(isn, 0, g)
         for pi, bits in enumerate(((c & 1), (c >> 1) & 1, isn.astype(np.uint8))):
             pk = _pack_bits(bits.astype(np.uint8))
-            planes[oi, pi, 1:1 + len(pk)] = pk  # word 0 = zero pad
+            planes[oi, 1:1 + len(pk), pi] = pk  # word 0 = zero pad
     gp = jnp.asarray(planes)
     nwords = 4
     starts = np.array([0, 1, 31, 32, 33, 100, L - 130, L - 100, L - 10,
