@@ -99,6 +99,33 @@ def _seed_stage(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths,
     return frame_reads, blocks, bp_codes, starts_l, sp, ep
 
 
+def _order_seeds(cfg: AlignerConfig, sp, ep, starts_l):
+    """Per-frame seed reorder by ASCENDING kept-occurrence count (stable by
+    seed index): the frozen expansion order, so locate-budget truncation
+    drops the least-informative (junk) seeds' entries first (mirrors
+    oracle collect_candidates).  Returns (cnt, sp, start) in that order.
+    S is tiny (e+1), so the permutation is applied with where-chains, not
+    gathers."""
+    S = sp.shape[-1]
+    cnt_u = ep - sp
+    seed_ok = (cnt_u > 0) & (cnt_u <= cfg.max_seed_occ)
+    cnt = jnp.where(seed_ok, cnt_u, 0).astype(jnp.int32)
+    key = cnt * S + jnp.arange(S, dtype=jnp.int32)
+    order = jnp.argsort(key, axis=-1)
+
+    def take_small(x):
+        outs = []
+        for j in range(S):
+            oj = order[..., j]
+            v = x[..., 0]
+            for k in range(1, S):
+                v = jnp.where(oj == k, x[..., k], v)
+            outs.append(v)
+        return jnp.stack(outs, axis=-1)
+
+    return take_small(cnt), take_small(sp), take_small(starts_l)
+
+
 def candidate_grids(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths,
                     frames: tuple[tuple[int, int], ...]):
     """Stages convert..verify for the given static frame list.
@@ -127,10 +154,9 @@ def candidate_grids(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths,
     frame_reads, blocks, bp_codes, starts_l, sp, ep = _seed_stage(
         dix, cfg, reads, lengths, frames)
 
-    # ---- expansion into the locate grid (seed-order truncation at LB) -----
-    cnt_u = ep - sp
-    seed_ok = (cnt_u > 0) & (cnt_u <= O)
-    cnt = jnp.where(seed_ok, cnt_u, 0).astype(jnp.int32)         # B,F,S
+    # ---- expansion into the locate grid (ascending-frequency seed order;
+    # truncation at LB drops junk-seed entries first) -----------------------
+    cnt, sp, starts_l = _order_seeds(cfg, sp, ep, starts_l)      # B,F,S
     offs = jnp.cumsum(cnt, axis=-1) - cnt                        # exclusive
     total = jnp.cumsum(cnt, axis=-1)[..., -1]                    # B,F
     slot = offs[..., None] + jnp.arange(O, dtype=jnp.int32)      # B,F,S,O
@@ -293,9 +319,8 @@ def candidate_grids_compact(dix: DeviceIndex, cfg: AlignerConfig, reads,
     # code and global start, and a cummax propagates them across the packed
     # buffer -- cheaper than per-slot searchsorted + cumulative-row gathers
     # (runs' codes are monotone over the buffer, so cummax is exact).
-    cnt_u = ep - sp
-    seed_ok = (cnt_u > 0) & (cnt_u <= O)
-    cnt = jnp.where(seed_ok, cnt_u, 0).astype(jnp.int32)         # B,F,S
+    # Seeds expand in ascending-frequency order (frozen truncation spec).
+    cnt, sp, starts_l = _order_seeds(cfg, sp, ep, starts_l)      # B,F,S
     cum = jnp.cumsum(cnt, axis=-1)                               # inclusive
     offs = (cum - cnt).reshape(R, S)                             # exclusive
     total = cum[..., -1]                                         # B,F

@@ -67,8 +67,8 @@ def collect_candidates(idx: BSIndex, cfg: AlignerConfig, pat: np.ndarray,
     """
     block = idx.blocks[block_id]
     overflow = False
-    entries: list[tuple[int, int]] = []   # (sa_row, seed_start), seed order
-    for start, end in seed_slices(m, cfg.num_seeds):
+    seeds = []
+    for si, (start, end) in enumerate(seed_slices(m, cfg.num_seeds)):
         sp, ep = packed.count(block, pat[start:end])
         cnt = ep - sp
         if cnt == 0:
@@ -76,8 +76,14 @@ def collect_candidates(idx: BSIndex, cfg: AlignerConfig, pat: np.ndarray,
         if cnt > cfg.max_seed_occ:
             overflow = True
             continue
+        seeds.append((int(cnt), si, int(sp), start))
+    # frozen: expand seeds in ASCENDING frequency (ties by seed index) so
+    # locate-budget truncation drops the least-informative (junk) entries
+    # first -- critical at large genomes where T-rich seeds are heavy-tailed
+    entries: list[tuple[int, int]] = []   # (sa_row, seed_start)
+    for cnt, _, sp, start in sorted(seeds):
         entries.extend((sp + k, start) for k in range(cnt))
-    if len(entries) > cfg.locate_budget:  # frozen: truncate in seed order
+    if len(entries) > cfg.locate_budget:
         entries = entries[:cfg.locate_budget]
         overflow = True
     anchors: set[int] = set()

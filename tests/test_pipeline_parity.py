@@ -129,3 +129,27 @@ def test_gdrop_fallback_sam_equal(setup):
     oracle = [r.line() for r in map_batch_se(idx, cfg, reads)]
     device = [r.line() for r in map_batch_tpu(idx, dix, cfg, reads)]
     assert oracle == device
+
+
+def test_truncation_prefers_specific_seeds():
+    """With a tiny locate budget and a junk (high-frequency) first seed,
+    ascending-frequency expansion must still find the true locus."""
+    import jax.numpy as jnp
+    from bitmapperbs_tpu.models.host import map_batch_tpu
+
+    rng = np.random.default_rng(77)
+    # genome: long T-homopolymer region (junk seeds) + unique sequence
+    junk = "T" * 600
+    uniq = "".join(rng.choice(list("ACG"), size=3000))
+    idx = build_index(f">c\n{junk}{uniq}\n")
+    dix = upload_index(idx)
+    # read whose FIRST seed lies in the junk region, rest unique: pos ~580
+    start = int(idx.genome.offsets[0]) + 580
+    frag = idx.genome.codes[start:start + 80]
+    read = np.where(frag == 1, 3, frag).astype(np.uint8)  # OT converted
+    cfg = AlignerConfig(max_errors=3, indels=True, read_len_bucket=96,
+                        batch_size=1, locate_budget=8, max_seed_occ=64)
+    recs = map_batch_tpu(idx, dix, cfg, [read])
+    assert recs[0].pos == 581, recs[0].line()
+    oracle = map_batch_se(idx, cfg, [read])
+    assert recs[0].line() == oracle[0].line()
