@@ -75,3 +75,15 @@ def test_pe_parity_discordant(setup):
                            min_insert=150, max_insert=260, sub_rate=0.0)
     cfg = cfg_pe(min_insert=0, max_insert=50)  # insert range excludes truth
     _compare(idx, dix, cfg, pairs)
+
+
+def test_pe_non_directional_parity(setup):
+    """PBAT paired-end: all four conversion frames per mate + rescue."""
+    idx, dix = setup
+    pairs = simulate_pairs(idx.genome, 40, read_len=70, seed=91,
+                           sub_rate=0.01, indel_rate=0.005,
+                           min_insert=150, max_insert=400)
+    cfg = cfg_pe(max_errors=4, indels=True, non_directional=True,
+                 read_len_bucket=96, batch_size=40, min_insert=100,
+                 max_insert=450)
+    _compare(idx, dix, cfg, pairs)
