@@ -1,5 +1,10 @@
 """Ablation profile of candidate_grids_compact: cumulative-prefix timings.
 
+NOTE: historical measurement snapshot -- it inlines the compact pipeline as
+of the searchsorted-expansion era to attribute stage costs; the production
+pipeline has since moved on (run-marker expansion, interleaved planes,
+sorted seeds).  Kept because PERF.md cites its methodology.
+
 Each variant jits the pipeline cut off after stage k; differences attribute
 wall time per stage (all on the same batch, same index).
 """
