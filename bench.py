@@ -33,7 +33,9 @@ def main():
         rng, contigs=(genome_bp // 2, genome_bp // 2)))
     dix = upload_index(idx)
 
-    bucket, batch = 96, 4096
+    # 16k-read batches: throughput-optimal (PERF.md; aligners stream
+    # millions of reads, so the large batch is the realistic regime)
+    bucket, batch = 96, 16384
     cfg = AlignerConfig(max_errors=4, indels=True, read_len_bucket=bucket,
                         batch_size=batch)
     sims = simulate_reads(idx.genome, batch, read_len=90, seed=1,
@@ -62,19 +64,21 @@ def main():
     from bitmapperbs_tpu.models.paired import map_batch_pe_device
     from bitmapperbs_tpu.utils.simulate import simulate_pairs
 
-    pe_cfg = cfg.replace(paired=True, min_insert=0, max_insert=500)
-    prs = simulate_pairs(idx.genome, batch, read_len=90, seed=2,
+    pe_batch = 4096   # PE pairs (simulation cost); metric line is SE
+    pe_cfg = cfg.replace(paired=True, min_insert=0, max_insert=500,
+                         batch_size=pe_batch)
+    prs = simulate_pairs(idx.genome, pe_batch, read_len=90, seed=2,
                          sub_rate=0.01, indel_rate=0.005,
                          min_insert=150, max_insert=480)
-    a1, l1 = prepare_batch([p[0].codes for p in prs], bucket, batch)
-    a2, l2 = prepare_batch([p[1].codes for p in prs], bucket, batch)
+    a1, l1 = prepare_batch([p[0].codes for p in prs], bucket, pe_batch)
+    a2, l2 = prepare_batch([p[1].codes for p in prs], bucket, pe_batch)
     pe_args = tuple(jnp.asarray(x) for x in (a1, l1, a2, l2))
     out = map_batch_pe_device(dix, pe_cfg, *pe_args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     outs = [map_batch_pe_device(dix, pe_cfg, *pe_args) for _ in range(4)]
     jax.block_until_ready(outs)
-    pe_rps = 2 * batch / ((time.perf_counter() - t0) / 4)
+    pe_rps = 2 * pe_batch / ((time.perf_counter() - t0) / 4)
     sys.stderr.write(f"[bench] paired-end: {pe_rps:.0f} reads/s/chip "
                      f"({pe_rps / 2:.0f} pairs/s)\n")
 
