@@ -142,21 +142,181 @@ def _assemble_pe_task(args):
     return _assemble_pe_local(idx, rc_ref, cfg, *args)
 
 
+def _patch_pair_fields(r1, r2, proper: bool):
+    """opaired._emit_pair's tail: RNEXT/PNEXT(/TLEN when proper)."""
+    import re as _re
+    if r1.rname == r2.rname:
+        r1.rnext = r2.rnext = "="
+        if proper:
+            left, right = (r1, r2) if r1.pos <= r2.pos else (r2, r1)
+            span = sum(int(ln) for ln, op in
+                       _re.findall(r"(\d+)([MID])", right.cigar) if op in "MD")
+            tlen = right.pos + span - left.pos
+            left.tlen, right.tlen = tlen, -tlen
+    else:
+        r1.rnext, r2.rnext = r2.rname, r1.rname
+    r1.pnext, r2.pnext = r2.pos, r1.pos
+
+
 def _assemble_pe_local(idx, rc_ref, cfg, a1, l1, a2, l2, n, quals, qnames,
                        host):
+    """Batch-assemble PE records: decide every pair's first-choice branch,
+    finalize ALL the implied records in one vectorized finalize_batch, then
+    patch PE fields -- per-pair python (_assemble_pair) only for pairs
+    whose optimistic records were rejected by finalize (contig-edge cases)
+    or that need a later branch.  Byte-identical to the per-pair path
+    (asserted by the PE parity suites through map_batch_pe_tpu)."""
     from bitmapperbs_tpu.oracle import paired as opaired
     from bitmapperbs_tpu import constants as K2
 
     e = cfg.max_errors
     L = idx.genome.length
-    recs: list[SamRecord] = []
+    _INF = K.INF_SCORE
+    rev_of = lambda h: K.IS_REVERSE[(h.block, h.pat)]
+
+    reads1 = [a1[i, :l1[i]] for i in range(n)]
+    reads2 = [a2[i, :l2[i]] for i in range(n)]
+
+    # ---- phase 1: branch decisions + optimistic finalize work items -------
+    it_reads, it_quals, it_qn, it_hits, it_flags, it_mapq = [], [], [], [], [], []
+    plan = []   # per pair: (branch, (item_idx1, item_idx2) | None)
+
+    def add_item(read, qual, qn, best, second, flag, mapq):
+        it_reads.append(read)
+        it_quals.append(qual)
+        it_qn.append(qn)
+        it_hits.append((best, second))
+        it_flags.append(flag)
+        it_mapq.append(mapq)
+        return len(it_reads) - 1
+
     for i in range(n):
-        reads = (a1[i, :l1[i]], a2[i, :l2[i]])
         q = quals[i] if quals else ("", "")
         qn = qnames[i] if qnames else f"p{i}"
-        recs.extend(_assemble_pair(idx, rc_ref, cfg, reads, q, qn,
-                                   host, i, L, e, opaired, K2))
-    return recs
+        m1, m2 = len(reads1[i]), len(reads2[i])
+
+        if host["pair_valid"][i]:
+            bp1, bp2 = int(host["pair_bp1"][i]), int(host["pair_bp2"][i])
+            aa1, aa2 = int(host["pair_a1"][i]), int(host["pair_a2"][i])
+            f1 = aa1 if bp1 >> 1 == K.BLOCK_FWD else L - aa1 - m1
+            f2 = aa2 if bp2 >> 1 == K.BLOCK_FWD else L - aa2 - m2
+            s1 = int(host["pair_s1"][i])
+            ssum = int(host["pair_sum"][i])
+            h1 = Hit(s1, f1, bp1 >> 1, bp1 & 1, aa1)
+            h2 = Hit(ssum - s1, f2, bp2 >> 1, bp2 & 1, aa2)
+            s2sum = int(host["pair_second_sum"][i])
+            if s2sum < 2 * _INF and s2sum == ssum:
+                mapq = 0
+            else:
+                mapq = K.mapq_from_gap(ssum, s2sum if s2sum < 2 * _INF
+                                       else None)
+            base = [K.FLAG_PAIRED | K.FLAG_PROPER | K.FLAG_READ1,
+                    K.FLAG_PAIRED | K.FLAG_PROPER | K.FLAG_READ2]
+            j1 = add_item(reads1[i], q[0], qn, h1, None,
+                          base[0] | (K.FLAG_MATE_REVERSE if rev_of(h2) else 0),
+                          mapq)
+            j2 = add_item(reads2[i], q[1], qn, h2, None,
+                          base[1] | (K.FLAG_MATE_REVERSE if rev_of(h1) else 0),
+                          mapq)
+            plan.append(("pair", (j1, j2)))
+            continue
+
+        if host["resc_valid"][i]:
+            anch_is_1 = bool(host["resc_anch_is_1"][i])
+            se_a = host["se1"] if anch_is_1 else host["se2"]
+            m_anch = m1 if anch_is_1 else m2
+            m_miss = m2 if anch_is_1 else m1
+            anchored, anch_second = _se_hit_from(se_a, i, m_anch, L)
+            if anchored is not None:
+                b = int(host["resc_block"][i])
+                p = int(host["resc_pat"][i])
+                fwd = int(host["resc_fwd"][i])
+                a = fwd if b == K.BLOCK_FWD else L - fwd - m_miss
+                rb = Hit(int(host["resc_score"][i]), fwd, b, p, a)
+                rsecond = int(host["resc_second"][i])
+                rsecond = rsecond if rsecond < _INF else None
+                anch_amb = anch_second is not None and \
+                    anch_second.score == anchored.score
+                anch_mapq = 0 if anch_amb else K.mapq_from_gap(
+                    anchored.score,
+                    anch_second.score if anch_second else None)
+                resc_mapq = 0 if (rsecond is not None
+                                  and rsecond == rb.score) \
+                    else K.mapq_from_gap(rb.score, rsecond)
+                mapq = min(anch_mapq, resc_mapq)
+                hh = (anchored, rb) if anch_is_1 else (rb, anchored)
+                base = [K.FLAG_PAIRED | K.FLAG_PROPER | K.FLAG_READ1,
+                        K.FLAG_PAIRED | K.FLAG_PROPER | K.FLAG_READ2]
+                j1 = add_item(reads1[i], q[0], qn, hh[0], None,
+                              base[0] | (K.FLAG_MATE_REVERSE
+                                         if rev_of(hh[1]) else 0), mapq)
+                j2 = add_item(reads2[i], q[1], qn, hh[1], None,
+                              base[1] | (K.FLAG_MATE_REVERSE
+                                         if rev_of(hh[0]) else 0), mapq)
+                plan.append(("resc", (j1, j2)))
+                continue
+
+        # discordant / singleton
+        sel = [_se_hit_from(host["se1"], i, m1, L),
+               _se_hit_from(host["se2"], i, m2, L)]
+        js = []
+        for mi, reads_m in ((0, reads1[i]), (1, reads2[i])):
+            best, second = sel[mi]
+            mate_best = sel[1 - mi][0]
+            extra = K.FLAG_PAIRED | (K.FLAG_READ1 if mi == 0
+                                     else K.FLAG_READ2)
+            if mate_best is None:
+                extra |= K.FLAG_MATE_UNMAPPED
+            elif rev_of(mate_best):
+                extra |= K.FLAG_MATE_REVERSE
+            if best is not None:
+                js.append(add_item(reads_m, q[mi], qn, best, second,
+                                   extra, None))
+            else:
+                js.append(("unmapped", extra, mi))
+        plan.append(("disc", tuple(js)))
+
+    recs_flat = finalize_batch(idx, rc_ref, cfg, it_reads, it_quals, it_qn,
+                               it_hits, flag_extras=it_flags,
+                               mapq_overrides=it_mapq)
+
+    # ---- phase 2: assemble per pair, falling back per-pair when needed ----
+    out: list[SamRecord] = []
+    for i, (branch, js) in enumerate(plan):
+        q = quals[i] if quals else ("", "")
+        qn = qnames[i] if qnames else f"p{i}"
+
+        if branch in ("pair", "resc"):
+            r1r, r2r = recs_flat[js[0]], recs_flat[js[1]]
+            if r1r is not None and r2r is not None:
+                _patch_pair_fields(r1r, r2r, proper=True)
+                out.extend((r1r, r2r))
+                continue
+            # rare: finalize rejected -> full per-pair decision tree
+            out.extend(_assemble_pair(idx, rc_ref, cfg,
+                                      (reads1[i], reads2[i]), q, qn,
+                                      host, i, L, e, opaired, K2))
+            continue
+
+        pair_recs = []
+        for mi, j in enumerate(js):
+            if isinstance(j, tuple):       # unmapped placeholder
+                _, extra, _ = j
+                rec = unmapped_record(qn, (reads1[i], reads2[i])[mi],
+                                      q[mi], flag_extra=extra)
+            else:
+                rec = recs_flat[j]
+                if rec is None:
+                    rec = unmapped_record(
+                        qn, (reads1[i], reads2[i])[mi], q[mi],
+                        flag_extra=it_flags[j])
+            pair_recs.append(rec)
+        r1r, r2r = pair_recs
+        if not (r1r.flag & K.FLAG_UNMAPPED) \
+                and not (r2r.flag & K.FLAG_UNMAPPED):
+            _patch_pair_fields(r1r, r2r, proper=False)
+        out.extend(pair_recs)
+    return out
 
 
 
