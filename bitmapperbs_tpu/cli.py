@@ -89,6 +89,19 @@ def build_parser():
                     help="this host's process id (default: auto)")
     se.add_argument("--dist-coordinator", default=None,
                     help="jax.distributed coordinator address host:port")
+    se.add_argument("--dist-shard", choices=("auto", "bytes", "records"),
+                    default="auto",
+                    help="multi-host input sharding: 'bytes' = per-host "
+                         "byte ranges (each host decodes ~1/H of the FASTQ; "
+                         "uncompressed only), 'records' = record striding "
+                         "(every host decodes everything, keeps 1/H); auto "
+                         "picks bytes unless input is .gz")
+    se.add_argument("--shard-index", type=int, default=0, metavar="N",
+                    help="shard the index over N chips (HBM relief for "
+                         "genomes larger than one chip; must divide the "
+                         "local device count; default 0 = replicated)")
+    se.add_argument("--single-device", action="store_true",
+                    help="map on one chip even when more are attached")
     se.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace (XProf/Perfetto) to DIR")
     se.add_argument("--oracle", action="store_true",
@@ -172,17 +185,29 @@ def cmd_search(args) -> int:
         from bitmapperbs_tpu.models.host import make_finalize_pool
         pool = make_finalize_pool(idx, cfg, args.threads)
 
-    # multi-host (SURVEY.md 2.2/5.8): record-strided FASTQ shard per host,
-    # per-host SAM shard, global stats psum at the end
+    # multi-host (SURVEY.md 2.2/5.8): per-host FASTQ shard (byte ranges by
+    # default -- each host decodes ~1/H; record striding for .gz), per-host
+    # SAM shard, global stats psum at the end
     shard = None
+    range_plan = None
     if args.dist_hosts > 1:
         from bitmapperbs_tpu.parallel import multihost
         pid, nproc = multihost.init_distributed(
             args.dist_coordinator, args.dist_hosts, args.dist_host_id)
-        shard = multihost.HostShard(pid, nproc)
+        mode = args.dist_shard
+        if mode == "auto":
+            gz = any(str(p).endswith(".gz")
+                     for p in (args.seq, args.seq1, args.seq2) if p)
+            mode = "records" if gz else "bytes"
+        if mode == "bytes":
+            range_plan = multihost.plan_byte_range(
+                args.seq1 if args.pe else args.seq, pid, nproc,
+                path2=args.seq2 if args.pe else None)
+        else:
+            shard = multihost.HostShard(pid, nproc)
         if args.output != "-":
             args.output = multihost.shard_path(args.output, pid, nproc)
-        sys.stderr.write(f"[bitmapperbs_tpu] host {pid}/{nproc} -> "
+        sys.stderr.write(f"[bitmapperbs_tpu] host {pid}/{nproc} ({mode}) -> "
                          f"{args.output}\n")
 
     use_oracle = args.oracle
@@ -204,32 +229,55 @@ def cmd_search(args) -> int:
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
         except Exception:  # cache is an optimization, never fatal
             pass
-        dix = upload_index(idx)
+        # multi-chip: >1 local device -> shard_map over all of them
+        # (SURVEY.md 3.5 / 7 Phase 5: the 1-host-all-chips production path);
+        # index replicated by default, sharded with --shard-index N
+        mappers = None
+        n_local = len(jax.local_devices())
+        if n_local > 1 and not args.single_device:
+            from bitmapperbs_tpu.parallel.shard import make_cli_mappers
+            mappers = make_cli_mappers(idx, cfg, shard_index=args.shard_index)
+            dix = mappers.dix
+            sys.stderr.write(
+                f"[bitmapperbs_tpu] mapping over {n_local} devices "
+                f"(mesh {dict(mappers.mesh.shape)})\n")
+        elif args.shard_index:
+            sys.stderr.write("error: --shard-index needs >1 local device\n")
+            return 2
+        else:
+            dix = upload_index(idx)
+
+    bam = args.bam or args.output.endswith(".bam")
+    if bam and args.output == "-":
+        sys.stderr.write("error: --bam requires -o FILE\n")
+        return 2
 
     cursor_path = (args.output + ".cursor") if args.output != "-" else None
     resume = {"record": 0, "offset": 0, "out_pos": 0}
+    if range_plan is not None:   # shard start; a cursor overrides it below
+        resume = {"record": range_plan.start_record,
+                  "offset": range_plan.offset,
+                  "offset2": range_plan.offset2, "out_pos": 0}
+    resumed = False              # cursor-resumed (vs fresh, possibly sharded)
     if args.resume and cursor_path and os.path.exists(cursor_path):
+        resumed = True
         with open(cursor_path) as f:
             resume = json.load(f)
         # a crash can land between the output flush and the cursor write;
         # truncating the output to the cursor's byte position makes the
-        # (flush, cursor) pair effectively atomic -- no duplicate records
+        # (flush, cursor) pair effectively atomic -- no duplicate records.
+        # save_cursor() flushes the writer first, so out_pos is a record
+        # boundary for SAM and a BGZF-block + record boundary for BAM
+        # (BgzfWriter.flush), making the truncate-and-append sound for both.
         if resume.get("out_pos") is not None and os.path.exists(args.output):
             with open(args.output, "r+b") as f:
                 f.truncate(resume["out_pos"])
         sys.stderr.write(f"[bitmapperbs_tpu] resuming at record "
                          f"{resume['record']}\n")
 
-    bam = args.bam or args.output.endswith(".bam")
-    if bam and args.output == "-":
-        sys.stderr.write("error: --bam requires -o FILE\n")
-        return 2
-    if bam and resume["record"]:
-        sys.stderr.write("error: --resume is not supported with BAM output\n")
-        return 2
     out_fh = sys.stdout if args.output == "-" else open(
         args.output,
-        ("ab" if bam else "a") if resume["record"] else ("wb" if bam else "w"))
+        ("ab" if bam else "a") if resumed else ("wb" if bam else "w"))
     stats = MapStats()
     unmapped = []
     ambiguous = []
@@ -239,8 +287,8 @@ def cmd_search(args) -> int:
     if bam:
         from bitmapperbs_tpu.io.bam import BamWriter
         writer = BamWriter(out_fh, idx.genome.names, idx.genome.lengths,
-                           rg=args.rg, cl=cl)
-    elif not resume["record"]:
+                           rg=args.rg, cl=cl, write_header=not resumed)
+    elif not resumed:
         writer = SamWriter(out_fh, idx.genome.names, idx.genome.lengths,
                            rg=args.rg, cl=cl)
     else:
@@ -259,6 +307,7 @@ def cmd_search(args) -> int:
 
     def save_cursor(record, offset, offset2=0):
         if cursor_path:
+            writer.flush()  # out_pos must be a record/BGZF-block boundary
             with open(cursor_path, "w") as f:
                 json.dump({"record": record, "offset": offset,
                            "offset2": offset2,
@@ -269,9 +318,11 @@ def cmd_search(args) -> int:
     trace_ctx.__enter__()
 
     if not args.pe:
-        reader = FastqReader(args.seq, cfg.batch_size, args.phred64,
-                             resume_offset=resume["offset"],
-                             resume_record=resume["record"])
+        reader = FastqReader(
+            args.seq, cfg.batch_size, args.phred64,
+            resume_offset=resume["offset"], resume_record=resume["record"],
+            limit_offset=(range_plan.limit_offset if range_plan is not None
+                          else None))
         # group `threads` reader batches per call so the finalize pool has
         # cross-batch work; cursor granularity becomes the group
         group_n = max(1, args.threads)
@@ -290,7 +341,7 @@ def cmd_search(args) -> int:
                 recs = map_batch_se(idx, cfg, codes, quals, qnames)
             else:
                 recs = map_batch_tpu(idx, dix, cfg, codes, quals, qnames,
-                                     stats=stats, pool=pool)
+                                     stats=stats, pool=pool, mappers=mappers)
             emit(recs, codes, qnames, quals)
             out_fh.flush()
             save_cursor(*last[0])
@@ -310,36 +361,44 @@ def cmd_search(args) -> int:
                 flush_group()
         flush_group()
     else:
+        limit_records = None
+        if range_plan is not None:
+            limit_records = range_plan.n_records - (
+                resume["record"] - range_plan.start_record)
         for b1, b2 in read_pairs(args.seq1, args.seq2, cfg.batch_size,
                                  args.phred64,
                                  resume_offsets=(resume["offset"],
                                                  resume.get("offset2", 0)),
-                                 resume_record=resume["record"]):
+                                 resume_record=resume["record"],
+                                 limit_records=limit_records):
             prs = list(zip(b1.codes, b2.codes))
             quals = list(zip(b1.quals, b2.quals))
             qn = b1.qnames
+            # cursor from the UNfiltered batch: under --dist-hosts the shard
+            # filter drops records owned by other hosts, but the resume
+            # cursor must still advance by the full batch so record indices
+            # and byte offsets stay aligned (shard ownership is by global
+            # record index)
+            cursor = (b1.start_record + len(b1), b1.end_offset, b2.end_offset)
             if shard is not None:
                 prs, qn, quals = shard.filter_batch(
                     prs, qn, quals, b1.start_record)
-                b1 = type(b1)(codes=[p[0] for p in prs], qnames=qn,
-                              quals=[q[0] for q in quals],
-                              start_record=b1.start_record,
-                              end_offset=b1.end_offset)
                 if not prs:
+                    save_cursor(*cursor)
                     continue
             if use_oracle:
                 from bitmapperbs_tpu.oracle.paired import map_batch_pe
-                recs = map_batch_pe(idx, cfg, prs, quals, b1.qnames)
+                recs = map_batch_pe(idx, cfg, prs, quals, qn)
             else:
-                recs = map_batch_pe_tpu(idx, dix, cfg, prs, quals, b1.qnames,
-                                        stats=stats, pool=pool)
+                recs = map_batch_pe_tpu(idx, dix, cfg, prs, quals, qn,
+                                        stats=stats, pool=pool,
+                                        mappers=mappers)
             flat_reads = [r for p in prs for r in p]
-            flat_qn = [qn for qn in b1.qnames for _ in (0, 1)]
+            flat_qn = [q_ for q_ in qn for _ in (0, 1)]
             flat_q = [q for p in quals for q in p]
             emit(recs, flat_reads, flat_qn, flat_q)
             out_fh.flush()
-            save_cursor(b1.start_record + len(b1), b1.end_offset,
-                        b2.end_offset)
+            save_cursor(*cursor)
 
     trace_ctx.__exit__(None, None, None)
     if args.profile:

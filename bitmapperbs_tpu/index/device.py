@@ -34,7 +34,8 @@ class DeviceIndex:
     # original genome, bit-packed planes, fwd + rc orientations
     g_planes: jax.Array     # uint32[2, words, 3]: [orient][word][b0,b1,nmask]
     # k-mer lookup table (constants.py KLT): first klt_k backward-search
-    # steps in one gather; small (<= 8.5 MB), always replicated.
+    # steps in one gather; always replicated (worst case 3^14 * 2 u32
+    # = 38 MB per block, 76 MB both blocks at KLT_MAX_K=14).
     klt: jax.Array          # uint32[2 * 3^klt_k, 2] (flat over blocks)
     rows_max: int = dataclasses.field(metadata=dict(static=True))
     genome_len: int = dataclasses.field(metadata=dict(static=True))

@@ -51,10 +51,19 @@ class BgzfWriter:
             self.fh.write(_bgzf_block(bytes(self.buf[:self.MAX])))
             del self.buf[:self.MAX]
 
-    def close(self) -> None:
+    def flush(self) -> None:
+        """Emit buffered bytes as a complete BGZF block and flush the file.
+
+        After this, fh.tell() is a BGZF block boundary AND a BAM record
+        boundary (records are only ever appended whole to the buffer), so it
+        is a sound resume-truncation point (cli --resume with --bam)."""
         if self.buf:
             self.fh.write(_bgzf_block(bytes(self.buf)))
             self.buf.clear()
+        self.fh.flush()
+
+    def close(self) -> None:
+        self.flush()
         self.fh.write(_BGZF_EOF)
         self.fh.flush()
 
@@ -117,21 +126,28 @@ def _encode_record(rec: SamRecord, ref_ids: dict[str, int]) -> bytes:
 class BamWriter:
     """Drop-in alternative to SamWriter producing BAM."""
 
-    def __init__(self, fh, names, lengths, rg=None, cl="bitmapperbs_tpu"):
+    def __init__(self, fh, names, lengths, rg=None, cl="bitmapperbs_tpu",
+                 write_header=True):
         from bitmapperbs_tpu.io.sam import header
 
         self.bgzf = BgzfWriter(fh)
-        text = "\n".join(header(names, lengths, rg, cl)) + "\n"
-        out = b"BAM\1" + struct.pack("<i", len(text)) + text.encode()
-        out += struct.pack("<i", len(names))
-        for n, ln in zip(names, lengths):
-            nb = str(n).encode() + b"\0"
-            out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", int(ln))
-        self.bgzf.write(out)
+        if write_header:  # False on --resume: appending blocks to a
+            # truncated-at-block-boundary BAM (BGZF blocks concatenate)
+            text = "\n".join(header(names, lengths, rg, cl)) + "\n"
+            out = b"BAM\1" + struct.pack("<i", len(text)) + text.encode()
+            out += struct.pack("<i", len(names))
+            for n, ln in zip(names, lengths):
+                nb = str(n).encode() + b"\0"
+                out += struct.pack("<i", len(nb)) + nb \
+                    + struct.pack("<i", int(ln))
+            self.bgzf.write(out)
         self.ref_ids = {str(n): i for i, n in enumerate(names)}
 
     def write(self, rec: SamRecord) -> None:
         self.bgzf.write(_encode_record(rec, self.ref_ids))
+
+    def flush(self) -> None:
+        self.bgzf.flush()
 
     def close(self) -> None:
         self.bgzf.close()

@@ -36,18 +36,28 @@ def _open(path):
 
 
 class FastqReader:
-    """Iterates ReadBatches; resumable from (record_index, byte_offset)."""
+    """Iterates ReadBatches; resumable from (record_index, byte_offset).
+
+    limit_offset / limit_records bound the reader to a shard of the file
+    (multi-host byte-range input sharding, parallel/multihost.py): the
+    reader stops before any record starting at/after limit_offset, or after
+    yielding limit_records records, whichever comes first."""
 
     def __init__(self, path, batch_size: int = 4096, phred64: bool = False,
-                 resume_offset: int = 0, resume_record: int = 0):
+                 resume_offset: int = 0, resume_record: int = 0,
+                 limit_offset: int | None = None,
+                 limit_records: int | None = None):
         self.path = path
         self.batch_size = batch_size
         self.phred64 = phred64
+        self.limit_offset = limit_offset
+        self.limit_records = limit_records
         self._fh = _open(path)
         if resume_offset:
             self._fh.seek(resume_offset)
         self._record = resume_record
         self._offset = resume_offset
+        self._yielded = 0
 
     def __iter__(self):
         return self
@@ -56,6 +66,12 @@ class FastqReader:
         qnames, codes, quals = [], [], []
         start = self._record
         while len(qnames) < self.batch_size:
+            if self.limit_offset is not None \
+                    and self._offset >= self.limit_offset:
+                break
+            if self.limit_records is not None \
+                    and self._yielded + len(qnames) >= self.limit_records:
+                break
             header = self._fh.readline()
             if not header:
                 break
@@ -78,21 +94,26 @@ class FastqReader:
         if not qnames:
             self._fh.close()
             raise StopIteration
+        self._yielded += len(qnames)
         return ReadBatch(qnames, codes, quals, start, self._offset)
 
 
 def read_pairs(path1, path2, batch_size: int = 4096, phred64: bool = False,
-               resume_offsets=(0, 0), resume_record: int = 0):
+               resume_offsets=(0, 0), resume_record: int = 0,
+               limit_records: int | None = None):
     """Synchronized paired FASTQ iteration -> (batch1, batch2) tuples.
 
     Resumable from (per-file byte offsets, pair record index) -- the PE
-    cursor checkpoint (SURVEY.md 5.3/5.4)."""
+    cursor checkpoint (SURVEY.md 5.3/5.4).  limit_records bounds BOTH mates
+    (byte-range multi-host sharding: mate files are record-count aligned)."""
     r1 = FastqReader(path1, batch_size, phred64,
                      resume_offset=resume_offsets[0],
-                     resume_record=resume_record)
+                     resume_record=resume_record,
+                     limit_records=limit_records)
     r2 = FastqReader(path2, batch_size, phred64,
                      resume_offset=resume_offsets[1],
-                     resume_record=resume_record)
+                     resume_record=resume_record,
+                     limit_records=limit_records)
     while True:
         try:
             b1 = next(r1)

@@ -82,3 +82,7 @@ class SamWriter:
 
     def write(self, rec: SamRecord) -> None:
         self.fh.write(rec.line() + "\n")
+
+    def flush(self) -> None:
+        """Checkpoint point: after this, fh.tell() is a record boundary."""
+        self.fh.flush()

@@ -48,7 +48,7 @@ MAX_INFLIGHT = 3  # device batches dispatched ahead of host finalize
 
 def map_batch_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
                   reads, quals=None, qnames=None, stats=None,
-                  pool=None) -> list[SamRecord]:
+                  pool=None, mappers=None) -> list[SamRecord]:
     """End-to-end device mapping of a list of reads -> SAM records.
 
     Batches are dispatched ahead of host-side finalization (JAX async
@@ -59,6 +59,9 @@ def map_batch_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
     recall, so they must be counted).
     pool: optional finalize pool (make_finalize_pool) -- per-batch finalize
     fans out over worker processes; results are gathered in order.
+    mappers: optional parallel.shard.CliMappers -- routes the mapping through
+    the shard_map multi-chip pipeline (all local chips) instead of the
+    single-device jit; batch sizes are padded to the data-axis multiple.
     """
     quals = quals or [""] * len(reads)
     qnames = qnames or [f"r{i}" for i in range(len(reads))]
@@ -67,10 +70,14 @@ def map_batch_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
     out_recs: list[SamRecord] = []
     futures = []
     bs = cfg.batch_size
+    rnd = mappers.batch_round if mappers is not None else 1
+    map_fn = (mappers.se if mappers is not None
+              else lambda a, l: map_batch_device(dix, cfg, a, l))
+    dense_fn = mappers.se_dense if mappers is not None else None
 
     def drain(item):
         lo, chunk, arr, lengths, out = item
-        out = _gdrop_fallback_se(dix, cfg, arr, lengths, out)
+        out = _gdrop_fallback_se(dix, cfg, arr, lengths, out, dense_fn)
         out_np = {k: np.asarray(v) for k, v in out.items()}
         if stats is not None:
             stats.overflow_reads += int(out_np["overflow"][:len(chunk)].sum())
@@ -84,9 +91,9 @@ def map_batch_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
     pending = []
     for lo in range(0, len(reads), bs):
         chunk = reads[lo:lo + bs]
-        arr, lengths = prepare_batch(chunk, m_pad, batch=min(bs, len(chunk)))
-        out = map_batch_device(dix, cfg, jnp.asarray(arr),
-                               jnp.asarray(lengths))   # async dispatch
+        B = -(-min(bs, len(chunk)) // rnd) * rnd
+        arr, lengths = prepare_batch(chunk, m_pad, batch=B)
+        out = map_fn(jnp.asarray(arr), jnp.asarray(lengths))  # async dispatch
         pending.append((lo, chunk, arr, lengths, out))
         if len(pending) >= MAX_INFLIGHT:
             drain(pending.pop(0))
@@ -108,7 +115,8 @@ def _merge_where(sel, dense, fast):
     return out
 
 
-def _gdrop_fallback_se(dix, cfg: AlignerConfig, arr, lengths, out):
+def _gdrop_fallback_se(dix, cfg: AlignerConfig, arr, lengths, out,
+                       dense_fn=None):
     """Re-run flat-buffer-overflow reads through the dense path.
 
     The compacted pipeline (aligner.candidate_grids_compact) drops candidate
@@ -116,12 +124,15 @@ def _gdrop_fallback_se(dix, cfg: AlignerConfig, arr, lengths, out):
     deterministic across batch compositions and shardings, every flagged
     read's result is replaced by the dense path's (the spec).  Unflagged
     reads are bit-identical between the two, so merging per read is exact.
+    dense_fn: optional dense-path mapper (multi-chip CliMappers.se_dense).
     """
     gdrop = np.asarray(out["gdrop"])
     if not (cfg.compact and gdrop.any()):
         return out
-    dense = map_batch_device(dix, cfg.replace(compact=False),
-                             jnp.asarray(arr), jnp.asarray(lengths))
+    if dense_fn is None:
+        dense_fn = lambda a, l: map_batch_device(
+            dix, cfg.replace(compact=False), a, l)
+    dense = dense_fn(jnp.asarray(arr), jnp.asarray(lengths))
     return _merge_where(gdrop, dense, out)
 
 
@@ -131,7 +142,7 @@ def _gdrop_fallback_se(dix, cfg: AlignerConfig, arr, lengths, out):
 
 def map_batch_pe_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
                      pairs, quals=None, qnames=None,
-                     stats=None, pool=None) -> list[SamRecord]:
+                     stats=None, pool=None, mappers=None) -> list[SamRecord]:
     """End-to-end device PE mapping -> SAM records (2 per pair)."""
     from bitmapperbs_tpu.models.paired import map_batch_pe_device
 
@@ -140,6 +151,13 @@ def map_batch_pe_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
     out_recs: list[SamRecord] = []
     futures = []
     bs = cfg.batch_size
+    rnd = mappers.batch_round if mappers is not None else 1
+    map_fn = (mappers.pe if mappers is not None
+              else lambda a1, l1, a2, l2: map_batch_pe_device(
+                  dix, cfg, a1, l1, a2, l2))
+    dense_fn = (mappers.pe_dense if mappers is not None
+                else lambda a1, l1, a2, l2: map_batch_pe_device(
+                    dix, cfg.replace(compact=False), a1, l1, a2, l2))
 
     def drain(item):
         lo, chunk, a1, l1, a2, l2, out = item
@@ -152,9 +170,8 @@ def map_batch_pe_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
                 (host["se1"]["overflow"][:len(chunk)]
                  | host["se2"]["overflow"][:len(chunk)]).sum())
         if cfg.compact and gdrop.any():
-            dense = map_batch_pe_device(
-                dix, cfg.replace(compact=False), jnp.asarray(a1),
-                jnp.asarray(l1), jnp.asarray(a2), jnp.asarray(l2))
+            dense = dense_fn(jnp.asarray(a1), jnp.asarray(l1),
+                             jnp.asarray(a2), jnp.asarray(l2))
             host = _merge_where(gdrop, dense, host)
         task = (a1, l1, a2, l2, len(chunk),
                 quals[lo:lo + len(chunk)] if quals else None,
@@ -168,11 +185,11 @@ def map_batch_pe_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
     pending = []
     for lo in range(0, len(pairs), bs):
         chunk = pairs[lo:lo + bs]
-        B = min(bs, len(chunk))
+        B = -(-min(bs, len(chunk)) // rnd) * rnd
         a1, l1 = prepare_batch([p[0] for p in chunk], m_pad, B)
         a2, l2 = prepare_batch([p[1] for p in chunk], m_pad, B)
-        out = map_batch_pe_device(dix, cfg, jnp.asarray(a1), jnp.asarray(l1),
-                                  jnp.asarray(a2), jnp.asarray(l2))
+        out = map_fn(jnp.asarray(a1), jnp.asarray(l1),
+                     jnp.asarray(a2), jnp.asarray(l2))
         pending.append((lo, chunk, a1, l1, a2, l2, out))
         if len(pending) >= MAX_INFLIGHT:
             drain(pending.pop(0))

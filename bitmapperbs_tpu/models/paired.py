@@ -182,10 +182,19 @@ def map_batch_pe_device(dix: DeviceIndex, cfg: AlignerConfig,
     lo_fwd = jnp.where(A + U32(cfg.min_insert) >= ms_len,
                        A + U32(cfg.min_insert) - ms_len, U32(0))
     lo = jnp.where(a_rev, lo_rev, lo_fwd)
-    hi = jnp.where(a_rev, A + a_len - U32(cfg.min_insert),
-                   A + U32(cfg.max_insert) - ms_len)
+    # hi needs the same underflow guards: the oracle computes hi in signed
+    # ints and a negative hi (< lo) means "no rescue window"; unguarded u32
+    # wrap here would instead survive the L - ms_len clamp and scan a
+    # near-full-genome window (spurious proper pairs).
+    hi_ok = jnp.where(a_rev, A + a_len >= U32(cfg.min_insert),
+                      A + U32(cfg.max_insert) >= ms_len)
+    hi = jnp.where(a_rev,
+                   jnp.where(A + a_len >= U32(cfg.min_insert),
+                             A + a_len - U32(cfg.min_insert), U32(0)),
+                   jnp.where(A + U32(cfg.max_insert) >= ms_len,
+                             A + U32(cfg.max_insert) - ms_len, U32(0)))
     hi = jnp.minimum(hi, U32(L) - ms_len)
-    r_ok = have_anchor & (lo <= hi)
+    r_ok = have_anchor & hi_ok & (lo <= hi)
 
     if cfg.indels and e > 0:
         # ONE semi-global Myers scan per pair over the whole insert window

@@ -97,11 +97,20 @@ def make_finalize_pool(idx: BSIndex, cfg: AlignerConfig, threads: int,
     import multiprocessing
     import tempfile
 
+    import atexit
+    import shutil
+
     d = tempfile.mkdtemp(prefix="btbs_pool_", dir=tmpdir)
     codes_path = os.path.join(d, "codes.u8")
     rc_path = os.path.join(d, "rc.u8")
     idx.genome.codes.astype(np.uint8).tofile(codes_path)
     dna.revcomp(idx.genome.codes).astype(np.uint8).tofile(rc_path)
+    # the memmap files are ~2x genome size (6+ GB for GRCh38): remove the
+    # temp dir when the pool shuts down (and at exit as a backstop)
+    def _cleanup(path=d):
+        shutil.rmtree(path, ignore_errors=True)
+
+    atexit.register(_cleanup)
     ctx = multiprocessing.get_context("spawn")
     # workers are numpy-only: strip any site hook that would preload or
     # attach an accelerator runtime in every child (e.g. a sitecustomize
@@ -112,7 +121,7 @@ def make_finalize_pool(idx: BSIndex, cfg: AlignerConfig, threads: int,
             p for p in saved.split(os.pathsep) if "site" not in
             os.path.basename(p) and "axon" not in p)
     try:
-        return ctx.Pool(
+        pool = ctx.Pool(
             threads, initializer=_pool_worker_init,
             initargs=(codes_path, rc_path, idx.genome.length,
                       idx.genome.names, idx.genome.offsets,
@@ -120,6 +129,14 @@ def make_finalize_pool(idx: BSIndex, cfg: AlignerConfig, threads: int,
     finally:
         if saved is not None:
             os.environ["PYTHONPATH"] = saved
+    orig_terminate = pool.terminate
+
+    def _terminate():
+        orig_terminate()
+        _cleanup()
+
+    pool.terminate = _terminate
+    return pool
 
 
 
@@ -171,7 +188,6 @@ def _assemble_pe_local(idx, rc_ref, cfg, a1, l1, a2, l2, n, quals, qnames,
 
     e = cfg.max_errors
     L = idx.genome.length
-    _INF = K.INF_SCORE
     rev_of = lambda h: K.IS_REVERSE[(h.block, h.pat)]
 
     reads1 = [a1[i, :l1[i]] for i in range(n)]
@@ -195,21 +211,8 @@ def _assemble_pe_local(idx, rc_ref, cfg, a1, l1, a2, l2, n, quals, qnames,
         qn = qnames[i] if qnames else f"p{i}"
         m1, m2 = len(reads1[i]), len(reads2[i])
 
-        if host["pair_valid"][i]:
-            bp1, bp2 = int(host["pair_bp1"][i]), int(host["pair_bp2"][i])
-            aa1, aa2 = int(host["pair_a1"][i]), int(host["pair_a2"][i])
-            f1 = aa1 if bp1 >> 1 == K.BLOCK_FWD else L - aa1 - m1
-            f2 = aa2 if bp2 >> 1 == K.BLOCK_FWD else L - aa2 - m2
-            s1 = int(host["pair_s1"][i])
-            ssum = int(host["pair_sum"][i])
-            h1 = Hit(s1, f1, bp1 >> 1, bp1 & 1, aa1)
-            h2 = Hit(ssum - s1, f2, bp2 >> 1, bp2 & 1, aa2)
-            s2sum = int(host["pair_second_sum"][i])
-            if s2sum < 2 * _INF and s2sum == ssum:
-                mapq = 0
-            else:
-                mapq = K.mapq_from_gap(ssum, s2sum if s2sum < 2 * _INF
-                                       else None)
+        branch, h1, h2, mapq = _decide_pair(host, i, m1, m2, L)
+        if branch in ("pair", "resc"):
             base = [K.FLAG_PAIRED | K.FLAG_PROPER | K.FLAG_READ1,
                     K.FLAG_PAIRED | K.FLAG_PROPER | K.FLAG_READ2]
             j1 = add_item(reads1[i], q[0], qn, h1, None,
@@ -218,43 +221,8 @@ def _assemble_pe_local(idx, rc_ref, cfg, a1, l1, a2, l2, n, quals, qnames,
             j2 = add_item(reads2[i], q[1], qn, h2, None,
                           base[1] | (K.FLAG_MATE_REVERSE if rev_of(h1) else 0),
                           mapq)
-            plan.append(("pair", (j1, j2)))
+            plan.append((branch, (j1, j2)))
             continue
-
-        if host["resc_valid"][i]:
-            anch_is_1 = bool(host["resc_anch_is_1"][i])
-            se_a = host["se1"] if anch_is_1 else host["se2"]
-            m_anch = m1 if anch_is_1 else m2
-            m_miss = m2 if anch_is_1 else m1
-            anchored, anch_second = _se_hit_from(se_a, i, m_anch, L)
-            if anchored is not None:
-                b = int(host["resc_block"][i])
-                p = int(host["resc_pat"][i])
-                fwd = int(host["resc_fwd"][i])
-                a = fwd if b == K.BLOCK_FWD else L - fwd - m_miss
-                rb = Hit(int(host["resc_score"][i]), fwd, b, p, a)
-                rsecond = int(host["resc_second"][i])
-                rsecond = rsecond if rsecond < _INF else None
-                anch_amb = anch_second is not None and \
-                    anch_second.score == anchored.score
-                anch_mapq = 0 if anch_amb else K.mapq_from_gap(
-                    anchored.score,
-                    anch_second.score if anch_second else None)
-                resc_mapq = 0 if (rsecond is not None
-                                  and rsecond == rb.score) \
-                    else K.mapq_from_gap(rb.score, rsecond)
-                mapq = min(anch_mapq, resc_mapq)
-                hh = (anchored, rb) if anch_is_1 else (rb, anchored)
-                base = [K.FLAG_PAIRED | K.FLAG_PROPER | K.FLAG_READ1,
-                        K.FLAG_PAIRED | K.FLAG_PROPER | K.FLAG_READ2]
-                j1 = add_item(reads1[i], q[0], qn, hh[0], None,
-                              base[0] | (K.FLAG_MATE_REVERSE
-                                         if rev_of(hh[1]) else 0), mapq)
-                j2 = add_item(reads2[i], q[1], qn, hh[1], None,
-                              base[1] | (K.FLAG_MATE_REVERSE
-                                         if rev_of(hh[0]) else 0), mapq)
-                plan.append(("resc", (j1, j2)))
-                continue
 
         # discordant / singleton
         sel = [_se_hit_from(host["se1"], i, m1, L),
@@ -320,6 +288,58 @@ def _assemble_pe_local(idx, rc_ref, cfg, a1, l1, a2, l2, n, quals, qnames,
 
 
 
+def _decide_pair(host, i, m1, m2, L, skip_pair=False):
+    """THE device-host PE branch decision for pair i (single copy; mirrors
+    oracle/paired.map_pair's decision order, which stays the frozen spec).
+
+    Returns ("pair"|"resc", h1, h2, mapq) for a proper/rescued pair, or
+    ("disc", None, None, None) for the discordant/singleton fallback.
+    `skip_pair` skips the proper-pair branch (used when its optimistic
+    finalize was rejected and the caller retries from rescue)."""
+    _INF = int(K.INF_SCORE)
+    if not skip_pair and host["pair_valid"][i]:
+        bp1, bp2 = int(host["pair_bp1"][i]), int(host["pair_bp2"][i])
+        a1, a2 = int(host["pair_a1"][i]), int(host["pair_a2"][i])
+        f1 = a1 if bp1 >> 1 == K.BLOCK_FWD else L - a1 - m1
+        f2 = a2 if bp2 >> 1 == K.BLOCK_FWD else L - a2 - m2
+        s1 = int(host["pair_s1"][i])
+        ssum = int(host["pair_sum"][i])
+        h1 = Hit(s1, f1, bp1 >> 1, bp1 & 1, a1)
+        h2 = Hit(ssum - s1, f2, bp2 >> 1, bp2 & 1, a2)
+        s2sum = int(host["pair_second_sum"][i])
+        if s2sum < 2 * _INF and s2sum == ssum:
+            mapq = 0
+        else:
+            mapq = K.mapq_from_gap(ssum, s2sum if s2sum < 2 * _INF else None)
+        return ("pair", h1, h2, mapq)
+
+    if host["resc_valid"][i]:
+        anch_is_1 = bool(host["resc_anch_is_1"][i])
+        se_a = host["se1"] if anch_is_1 else host["se2"]
+        m_anch = m1 if anch_is_1 else m2
+        m_miss = m2 if anch_is_1 else m1
+        anchored, anch_second = _se_hit_from(se_a, i, m_anch, L)
+        if anchored is not None:
+            b = int(host["resc_block"][i])
+            p = int(host["resc_pat"][i])
+            fwd = int(host["resc_fwd"][i])
+            a = fwd if b == K.BLOCK_FWD else L - fwd - m_miss
+            rb = Hit(int(host["resc_score"][i]), fwd, b, p, a)
+            rsecond = int(host["resc_second"][i])
+            rsecond = rsecond if rsecond < _INF else None
+            anch_amb = anch_second is not None and \
+                anch_second.score == anchored.score
+            anch_mapq = 0 if anch_amb else K.mapq_from_gap(
+                anchored.score, anch_second.score if anch_second else None)
+            resc_mapq = 0 if (rsecond is not None and rsecond == rb.score) \
+                else K.mapq_from_gap(rb.score, rsecond)
+            mapq = min(anch_mapq, resc_mapq)
+            hh = (anchored, rb) if anch_is_1 else (rb, anchored)
+            return ("resc", hh[0], hh[1], mapq)
+
+    return ("disc", None, None, None)
+
+
 def _se_hit_from(host_se, i, m, L):
     _INF = K.INF_SCORE
     if host_se["best_score"][i] >= int(_INF):
@@ -338,55 +358,22 @@ def _se_hit_from(host_se, i, m, L):
 
 def _assemble_pair(idx, rc_ref, cfg, reads, q, qn, host, i, L, e,
                    opaired, K2):
-    _INF = K.INF_SCORE
     m1, m2 = len(reads[0]), len(reads[1])
 
-    if host["pair_valid"][i]:
-        bp1, bp2 = int(host["pair_bp1"][i]), int(host["pair_bp2"][i])
-        a1, a2 = int(host["pair_a1"][i]), int(host["pair_a2"][i])
-        f1 = a1 if bp1 >> 1 == K.BLOCK_FWD else L - a1 - m1
-        f2 = a2 if bp2 >> 1 == K.BLOCK_FWD else L - a2 - m2
-        s1 = int(host["pair_s1"][i])
-        ssum = int(host["pair_sum"][i])
-        h1 = Hit(s1, f1, bp1 >> 1, bp1 & 1, a1)
-        h2 = Hit(ssum - s1, f2, bp2 >> 1, bp2 & 1, a2)
-        s2sum = int(host["pair_second_sum"][i])
-        if s2sum < int(2 * _INF) and s2sum == ssum:
-            mapq = 0
-        else:
-            mapq = K.mapq_from_gap(ssum,
-                                   s2sum if s2sum < int(2 * _INF) else None)
+    branch, h1, h2, mapq = _decide_pair(host, i, m1, m2, L)
+    if branch == "pair":
         recs = opaired._emit_pair(idx, rc_ref, cfg, reads, q, qn,
                                   h1, h2, mapq, mapq)
         if recs:
             return recs
-
-    if host["resc_valid"][i]:
-        anch_is_1 = bool(host["resc_anch_is_1"][i])
-        se_a = host["se1"] if anch_is_1 else host["se2"]
-        m_anch = m1 if anch_is_1 else m2
-        m_miss = m2 if anch_is_1 else m1
-        anchored, anch_second = _se_hit_from(se_a, i, m_anch, L)
-        if anchored is not None:
-            b = int(host["resc_block"][i])
-            p = int(host["resc_pat"][i])
-            fwd = int(host["resc_fwd"][i])
-            a = fwd if b == K.BLOCK_FWD else L - fwd - m_miss
-            rb = Hit(int(host["resc_score"][i]), fwd, b, p, a)
-            rsecond = int(host["resc_second"][i])
-            rsecond = rsecond if rsecond < int(_INF) else None
-            anch_amb = anch_second is not None and \
-                anch_second.score == anchored.score
-            anch_mapq = 0 if anch_amb else K.mapq_from_gap(
-                anchored.score, anch_second.score if anch_second else None)
-            resc_mapq = 0 if (rsecond is not None and rsecond == rb.score) \
-                else K.mapq_from_gap(rb.score, rsecond)
-            mapq = min(anch_mapq, resc_mapq)
-            ordered = (anchored, rb) if anch_is_1 else (rb, anchored)
-            recs = opaired._emit_pair(idx, rc_ref, cfg, reads, q, qn,
-                                      ordered[0], ordered[1], mapq, mapq)
-            if recs:
-                return recs
+        # proper-pair finalize rejected (contig-edge): retry from rescue
+        branch, h1, h2, mapq = _decide_pair(host, i, m1, m2, L,
+                                            skip_pair=True)
+    if branch == "resc":
+        recs = opaired._emit_pair(idx, rc_ref, cfg, reads, q, qn,
+                                  h1, h2, mapq, mapq)
+        if recs:
+            return recs
 
     # discordant / singleton fallback
     sel = [_se_hit_from(host["se1"], i, m1, L),

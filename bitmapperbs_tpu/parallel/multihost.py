@@ -19,6 +19,7 @@ how the logic is unit-tested (a real pod run only changes process_count).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -64,6 +65,111 @@ class HostShard:
                 if self.owns(start_record + i)]
         return ([codes[i] for i in keep], [qnames[i] for i in keep],
                 [quals[i] for i in keep])
+
+
+def _snap_record_start(path: str, target: int) -> int:
+    """Smallest FASTQ record-start byte offset >= (roughly) target.
+
+    Record-start detection: a line is a record header iff it starts with
+    '@' AND the line two below starts with '+' (quality lines may start
+    with '@' but are always followed by header->sequence, and sequence
+    lines never start with '+').  Deterministic, so all hosts computing
+    adjacent boundaries agree and ranges tile exactly.
+    """
+    size = os.path.getsize(path)
+    if target <= 0:
+        return 0
+    if target >= size:
+        return size
+    with open(path, "rb") as f:
+        f.seek(target)
+        f.readline()                      # skip the (possibly) partial line
+        offs, lines = [], []
+        for _ in range(8):
+            offs.append(f.tell())
+            line = f.readline()
+            if not line:
+                break
+            lines.append(line)
+        for i in range(min(4, len(lines))):
+            if lines[i][:1] == b"@" and i + 2 < len(lines) \
+                    and lines[i + 2][:1] == b"+":
+                return offs[i]
+    return size
+
+
+def _count_newlines(path: str, lo: int, hi: int) -> int:
+    """Newlines in bytes [lo, hi) -- block reads + bytes.count, no decode
+    (~50-100x cheaper than the FASTQ decode path)."""
+    n = 0
+    with open(path, "rb") as f:
+        f.seek(lo)
+        left = hi - lo
+        while left > 0:
+            chunk = f.read(min(1 << 24, left))
+            if not chunk:
+                break
+            n += chunk.count(b"\n")
+            left -= len(chunk)
+    return n
+
+
+def _offset_of_record(path: str, record_index: int) -> int:
+    """Byte offset of FASTQ record `record_index` (scan: newline counting)."""
+    need = 4 * record_index
+    if need == 0:
+        return 0
+    off = 0
+    with open(path, "rb") as f:
+        while True:
+            chunk = f.read(1 << 24)
+            if not chunk:
+                return off
+            c = chunk.count(b"\n")
+            if c >= need:
+                nl = np.flatnonzero(
+                    np.frombuffer(chunk, np.uint8) == ord("\n"))
+                return off + int(nl[need - 1]) + 1
+            need -= c
+            off += len(chunk)
+
+
+@dataclasses.dataclass
+class ByteRangePlan:
+    """Per-host byte-range FASTQ shard (SURVEY.md 2.2 DCN row).
+
+    Unlike record-striding (HostShard), each host reads and DECODES only
+    its ~1/H byte range; planning costs one boundary snap plus a newline
+    scan of the range/prefix (no decode).  Uncompressed FASTQ only --
+    .gz cannot seek, use record striding or per-host files there.
+    """
+
+    start_record: int          # global index of this host's first record
+    offset: int                # mate-1 start byte
+    limit_offset: int          # mate-1 end byte (exclusive; snapped)
+    n_records: int             # records owned by this host
+    offset2: int = 0           # mate-2 start byte (PE)
+
+
+def plan_byte_range(path: str, process_id: int, num_processes: int,
+                    path2: str | None = None) -> ByteRangePlan:
+    """Byte-range shard plan for host `process_id` of `num_processes`.
+
+    SE: equal byte ranges snapped to record starts; the host decodes only
+    [offset, limit_offset).  PE: ranges are chosen on mate-1 and mate 2 is
+    aligned by RECORD COUNT (mate files need not have equal byte layouts);
+    the alignment scan is newline counting only.
+    """
+    size = os.path.getsize(path)
+    lo = _snap_record_start(path, size * process_id // num_processes)
+    hi = _snap_record_start(path, size * (process_id + 1) // num_processes)
+    start_record = _count_newlines(path, 0, lo) // 4
+    n_records = _count_newlines(path, lo, hi) // 4
+    plan = ByteRangePlan(start_record=start_record, offset=lo,
+                         limit_offset=hi, n_records=n_records)
+    if path2 is not None:
+        plan.offset2 = _offset_of_record(path2, start_record)
+    return plan
 
 
 def shard_path(output: str, process_id: int, num_processes: int) -> str:

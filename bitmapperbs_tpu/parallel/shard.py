@@ -155,6 +155,78 @@ def make_sharded_pe_mapper(cfg: AlignerConfig, mesh: Mesh,
     return jax.jit(fn)
 
 
+@dataclasses.dataclass
+class CliMappers:
+    """Multi-chip mapping entry points for the CLI (SURVEY.md 3.5 / 7 P5).
+
+    Wraps the shard_map mappers with input device_put so models/host.py can
+    call them exactly like the single-device jits.  `se_dense`/`pe_dense`
+    are the compact-off spec mappers used for the per-read gdrop fallback;
+    outputs stay bitwise-identical to single-device (tests/test_sharding.py,
+    tests/test_cli.py::test_cli_multichip_*)."""
+
+    mesh: Mesh
+    dix: DeviceIndex
+    batch_round: int
+    se: object = None
+    se_dense: object = None
+    pe: object = None
+    pe_dense: object = None
+
+
+def make_cli_mappers(idx: BSIndex, cfg: AlignerConfig, devices=None,
+                     shard_index: int = 0) -> CliMappers:
+    """Build the production multi-chip mappers over the local devices.
+
+    devices: list of jax devices (default jax.local_devices()).
+    shard_index: if > 0, shard the index arrays over an 'idx' axis of this
+    size (HBM relief for genomes larger than one chip's memory); the data
+    axis gets the remaining ndev // shard_index chips.  0 = replicated.
+    """
+    devices = list(jax.local_devices()) if devices is None else list(devices)
+    ndev = len(devices)
+    if shard_index:
+        if ndev % shard_index:
+            raise ValueError(f"--shard-index {shard_index} does not divide "
+                             f"device count {ndev}")
+        data = ndev // shard_index
+        mesh = Mesh(np.array(devices).reshape(data, shard_index),
+                    ("data", "idx"))
+        dix = upload_index_sharded(idx, mesh, "idx")
+    else:
+        data = ndev
+        mesh = Mesh(np.array(devices), ("data",))
+        dix = jax.device_put(upload_index(idx), NamedSharding(mesh, P()))
+
+    out = CliMappers(mesh=mesh, dix=dix, batch_round=data)
+    rd_s = NamedSharding(mesh, P("data", None))
+    ln_s = NamedSharding(mesh, P("data"))
+
+    def wrap_se(fn):
+        def call(arr, lengths):
+            return fn(dix, jax.device_put(arr, rd_s),
+                      jax.device_put(lengths, ln_s))
+        return call
+
+    def wrap_pe(fn):
+        def call(a1, l1, a2, l2):
+            return fn(dix, jax.device_put(a1, rd_s),
+                      jax.device_put(l1, ln_s),
+                      jax.device_put(a2, rd_s),
+                      jax.device_put(l2, ln_s))
+        return call
+
+    if cfg.paired:
+        out.pe = wrap_pe(make_sharded_pe_mapper(cfg, mesh, dix))
+        out.pe_dense = wrap_pe(make_sharded_pe_mapper(
+            cfg.replace(compact=False), mesh, dix))
+    else:
+        out.se = wrap_se(make_sharded_se_mapper(cfg, mesh, dix))
+        out.se_dense = wrap_se(make_sharded_se_mapper(
+            cfg.replace(compact=False), mesh, dix))
+    return out
+
+
 def global_stats(out, mesh: Mesh):
     """psum'd device counters (SURVEY.md 5.5): mapped / overflow counts."""
     from bitmapperbs_tpu.models.aligner import INF

@@ -105,6 +105,32 @@ def test_cursor_resume(workdir):
     assert resumed == full
 
 
+def test_cli_multichip_matches_single_device(workdir):
+    """The CLI's production multi-chip path (shard_map over all local
+    devices, replicated AND sharded index) writes SAM byte-identical to the
+    single-device path (SURVEY.md 3.5 / 7 Phase 5)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    d, sims = workdir
+    main(["index", str(d / "ref.fa")])
+    base = ["search", str(d / "ref.fa"), "--seq", str(d / "reads.fq"),
+            "--read-bucket", "96", "--batch-size", "8"]
+
+    def body(p):  # @PG carries the (different) command line
+        return [l for l in p.read_text().splitlines()
+                if not l.startswith("@PG")]
+
+    out1 = d / "one.sam"
+    assert main(base + ["-o", str(out1), "--single-device"]) == 0
+    out8 = d / "eight.sam"
+    assert main(base + ["-o", str(out8)]) == 0
+    assert body(out8) == body(out1)
+    outs = d / "sharded.sam"
+    assert main(base + ["-o", str(outs), "--shard-index", "4"]) == 0
+    assert body(outs) == body(out1)
+
+
 def test_ambiguous_out(tmp_path):
     """--ambiguous-out captures MAPQ-0 mapped reads (repeat genome)."""
     import numpy as np

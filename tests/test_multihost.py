@@ -39,6 +39,68 @@ def test_host_shard_partition():
     assert sorted(seen, key=lambda s: int(s[1:])) == qnames  # exact cover
 
 
+def test_byte_range_plan_exact_cover(tmp_path):
+    """Byte-range shard plans tile the file exactly at record boundaries,
+    even with '@'-leading quality lines and varied read lengths; per-host
+    range readers concatenate to the full record set in order."""
+    from bitmapperbs_tpu.io.fastq import FastqReader, write_fastq
+
+    rng = np.random.default_rng(5)
+    n = 53
+    reads = [rng.integers(0, 4, int(rng.integers(40, 90))).astype(np.uint8)
+             for _ in range(n)]
+    # quality strings that START with '@' to stress the boundary snap
+    quals = [("@" if i % 2 else "I") * len(r) for i, r in enumerate(reads)]
+    fq = tmp_path / "r.fq"
+    write_fastq(str(fq), reads, [f"r{i}" for i in range(n)], quals)
+    size = os.path.getsize(fq)
+
+    for H in (2, 3, 5):
+        plans = [multihost.plan_byte_range(str(fq), h, H) for h in range(H)]
+        assert plans[0].offset == 0
+        assert plans[-1].limit_offset == size
+        for h in range(H - 1):
+            assert plans[h].limit_offset == plans[h + 1].offset
+            assert (plans[h].start_record + plans[h].n_records
+                    == plans[h + 1].start_record)
+        assert sum(p.n_records for p in plans) == n
+        got = []
+        for p in plans:
+            r = FastqReader(str(fq), batch_size=7,
+                            resume_offset=p.offset,
+                            resume_record=p.start_record,
+                            limit_offset=p.limit_offset)
+            for b in r:
+                got.extend(b.qnames)
+        assert got == [f"r{i}" for i in range(n)]
+
+
+def test_byte_range_plan_pe_alignment(tmp_path):
+    """PE plans align mate 2 by record count even when the mate files have
+    different byte layouts (different read lengths)."""
+    from bitmapperbs_tpu.io.fastq import read_pairs, write_fastq
+
+    rng = np.random.default_rng(6)
+    n = 31
+    r1 = [rng.integers(0, 4, 80).astype(np.uint8) for _ in range(n)]
+    r2 = [rng.integers(0, 4, 40).astype(np.uint8) for _ in range(n)]
+    f1, f2 = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    write_fastq(str(f1), r1, [f"p{i}" for i in range(n)])
+    write_fastq(str(f2), r2, [f"p{i}" for i in range(n)])
+
+    H = 3
+    got = []
+    for h in range(H):
+        p = multihost.plan_byte_range(str(f1), h, H, path2=str(f2))
+        for b1, b2 in read_pairs(str(f1), str(f2), batch_size=4,
+                                 resume_offsets=(p.offset, p.offset2),
+                                 resume_record=p.start_record,
+                                 limit_records=p.n_records):
+            assert b1.qnames == b2.qnames
+            got.extend(b1.qnames)
+    assert got == [f"p{i}" for i in range(n)]
+
+
 def test_shard_path():
     assert multihost.shard_path("out.sam", 0, 1) == "out.sam"
     assert multihost.shard_path("out.sam", 2, 4) == "out.shard2.sam"
@@ -98,6 +160,43 @@ def tiny_dataset(tmp_path_factory):
 def _sam_records(path):
     return sorted(l for l in open(path).read().splitlines()
                   if l and not l.startswith("@"))
+
+
+def _stub_cli_subprocess(args):
+    """CLI subprocess with jax.distributed stubbed out (sequential hosts)."""
+    code = ("import jax, sys; jax.config.update('jax_platforms', 'cpu'); "
+            "from bitmapperbs_tpu.parallel import multihost; "
+            "multihost.init_distributed = lambda c, n, p: (p or 0, n); "
+            "from bitmapperbs_tpu.cli import main; "
+            "sys.exit(main(sys.argv[1:]))")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.Popen([sys.executable, "-c", code] + args, env=env,
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+
+
+def test_two_host_byte_range_cli(tiny_dataset):
+    """--dist-shard bytes: two hosts' shard outputs concatenate to exactly
+    the single-host record set (each host decodes only its byte range)."""
+    d, ref, fq = tiny_dataset
+    single = d / "single_b.sam"
+    p = _stub_cli_subprocess(["search", str(ref), "--seq", str(fq), "-o",
+                              str(single), "--oracle", "--batch-size", "8",
+                              "--read-bucket", "64"])
+    _, err = p.communicate(timeout=300)
+    assert p.returncode == 0, err.decode()
+    for h in range(2):
+        p = _stub_cli_subprocess(
+            ["search", str(ref), "--seq", str(fq), "-o", str(d / "bh.sam"),
+             "--oracle", "--batch-size", "8", "--read-bucket", "64",
+             "--dist-hosts", "2", "--dist-host-id", str(h),
+             "--dist-shard", "bytes"])
+        _, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()
+        assert b"(bytes)" in err
+    merged = (_sam_records(d / "bh.shard0.sam")
+              + _sam_records(d / "bh.shard1.sam"))
+    assert sorted(merged) == _sam_records(single)
 
 
 def test_two_process_distributed_smoke(tiny_dataset):

@@ -77,6 +77,38 @@ def test_pe_parity_discordant(setup):
     _compare(idx, dix, cfg, pairs)
 
 
+def test_pe_rescue_window_underflow(setup):
+    """Anchor near the frame start with min_insert > anchor+len (or
+    max_insert < missing-mate length): the oracle's rescue window is empty
+    (hi < 0 -> lo > hi -> no rescue); the device's uint32 hi must take the
+    same branch instead of wrapping into a near-full-genome scan.  The
+    missing mate is planted as an exact match FAR from the anchor, so a
+    wrapped window would find it and emit a spurious proper pair."""
+    from bitmapperbs_tpu.utils import dna
+    idx, dix = setup
+    g = np.asarray(idx.genome.codes)
+
+    # rev-anchored: r1 = OB-style read at fwd coord 0 (reverse orientation);
+    # r2 matches the (rev block, GA) rescue frame exactly at fwd ~4000
+    inp = [(dna.revcomp(g[0:80]), g[4000:4080].copy())]
+    cfg = cfg_pe(max_errors=3, indels=True, min_insert=200, max_insert=400)
+    recs_o = map_batch_pe(idx, cfg, inp)
+    oracle = [r.line() for r in recs_o]
+    device = [r.line() for r in map_batch_pe_tpu(idx, dix, cfg, inp)]
+    assert oracle == device
+    assert not any(r.flag & 0x2 for r in recs_o)  # no (spurious) proper pair
+
+    # fwd-anchored flavor: max_insert < missing-mate length; the planted
+    # distant match for the (fwd block, GA) frame is a revcomp'd fwd slice
+    inp2 = [(g[0:80].copy(), dna.revcomp(g[4000:4080]))]
+    cfg2 = cfg_pe(max_errors=3, indels=True, min_insert=0, max_insert=60)
+    recs_o2 = map_batch_pe(idx, cfg2, inp2)
+    oracle2 = [r.line() for r in recs_o2]
+    device2 = [r.line() for r in map_batch_pe_tpu(idx, dix, cfg2, inp2)]
+    assert oracle2 == device2
+    assert not any(r.flag & 0x2 for r in recs_o2)
+
+
 def test_pe_non_directional_parity(setup):
     """PBAT paired-end: all four conversion frames per mate + rescue."""
     idx, dix = setup
