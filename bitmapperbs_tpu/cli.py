@@ -147,8 +147,8 @@ def make_config(args):
     if args.fast:
         cfg = cfg.replace(max_seed_occ=32, locate_budget=64, max_candidates=16)
     if args.sensitive:
-        cfg = cfg.replace(max_seed_occ=128, locate_budget=256,
-                          max_candidates=64)
+        cfg = cfg.replace(max_seed_occ=512, locate_budget=512,
+                          max_candidates=128)
     cfg.validate()
     return cfg
 

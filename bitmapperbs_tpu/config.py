@@ -17,9 +17,13 @@ class AlignerConfig:
     indels: bool = True          # False -> Hamming-only fast path (config 1)
 
     # --- seeding policy (frozen spec: pigeonhole e+1 equal slices) ---------
-    max_seed_occ: int = 64       # seed interval wider than this is skipped
-    locate_budget: int = 64      # SA entries located per read per (pat,block)
-    max_candidates: int = 32     # verified anchors per read per (pat,block)
+    # Defaults re-tuned round 2 on the 100 Mbp benchmark: raising the caps
+    # from (64, 64, 32) recovers most heavy-seed recall loss (0.9775 ->
+    # 0.9900) at UNCHANGED throughput, because the compact pipeline's cost
+    # is set by the flat-buffer size (resolve_flat_cap), not these budgets.
+    max_seed_occ: int = 128      # seed interval wider than this is skipped
+    locate_budget: int = 256     # SA entries located per read per (pat,block)
+    max_candidates: int = 64     # verified anchors per read per (pat,block)
 
     # --- library protocol --------------------------------------------------
     non_directional: bool = False  # --pbat / non-directional: add PAT_GA
@@ -47,15 +51,22 @@ class AlignerConfig:
     # flat slots per read (buffer = batch * this).  0 = genome-size adaptive:
     # candidate counts grow ~linearly with genome size (the 3-letter
     # converted alphabet makes seeds T-rich and heavy-tailed), so small
-    # genomes get a tight buffer and large ones approach the per-frame
-    # budget bound F * locate_budget, above which gdrop cannot occur.
+    # genomes get a tight buffer and large ones grow toward flat_cap_max.
     locate_flat_cap: int = 0
+    # Ceiling on the ADAPTIVE flat cap: the locate/dedup/verify stages cost
+    # O(batch * flat_cap) gathers whether slots are occupied or not, so the
+    # buffer must track expected occupancy, not the worst-case per-frame
+    # budget (F * locate_budget) -- overflow reads fall back to the dense
+    # spec path via gdrop instead.  128 keeps the human-genome buffer at
+    # its measured round-1 size while the per-frame budgets above grew 4x.
+    flat_cap_max: int = 128
 
     def resolve_flat_cap(self, genome_len: int, num_frames: int) -> int:
         hard = num_frames * self.locate_budget   # per-read entries never exceed
         if self.locate_flat_cap > 0:
             return min(self.locate_flat_cap, hard)
-        return int(np.clip(-(-genome_len // 1_500_000), 16, hard))
+        return int(np.clip(-(-genome_len // 1_500_000), 16,
+                           min(hard, self.flat_cap_max)))
 
     # --- output ------------------------------------------------------------
     report_ambiguous: bool = True   # emit MAPQ-0 record vs suppress

@@ -1,0 +1,172 @@
+"""Large-scale differential verification harness (SURVEY.md section 4;
+round-1 VERDICT "scale-proof golden verification").
+
+The NumPy oracle runs ~20 reads/s, so golden SAM differentials cap out at
+~10^2 reads.  This harness scales correctness checking to 10^5+ reads at
+100 Mbp+ genomes in minutes by layering:
+
+1. device cross-diff: every read mapped by BOTH device pipelines --
+   compact (production) and dense (the spec implementation) -- and all
+   output tuples compared bitwise.  Any mismatch localizes to a read and
+   fails loudly.  This is exactly the invariant the gdrop fallback relies
+   on (CLAUDE.md: compact must be bit-identical to dense except
+   flat-buffer overflow).
+2. batch-split invariance: the same reads mapped again with a different
+   batch partition must produce identical tuples (order-free selection).
+3. oracle sampling: a random subsample is taken through the full NumPy
+   oracle to SAM lines and compared byte-for-byte against the device
+   path's SAM (host finalize is shared, so this checks the tuples AND the
+   finalize glue end-to-end).
+
+Usage: python scripts/crossdiff.py [--n 100000] [--genome-bp 100000000]
+       [--oracle-sample 200] [--pe] [--seed 0]
+Exit code 0 = all layers clean.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _as_np(out):
+    return {k: (np.asarray(v) if not isinstance(v, dict)
+                else {kk: np.asarray(vv) for kk, vv in v.items()})
+            for k, v in out.items()}
+
+
+def _diff(a, b, keys, label, where=""):
+    bad = []
+    for k in keys:
+        if isinstance(a[k], dict):
+            bad += _diff(a[k], b[k], a[k].keys(), label, where + k + ".")
+            continue
+        neq = np.flatnonzero(a[k] != b[k])
+        if len(neq):
+            bad.append((where + k, neq[:5], a[k][neq[:3]], b[k][neq[:3]]))
+    return bad
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--genome-bp", type=int, default=100_000_000)
+    ap.add_argument("--oracle-sample", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--read-len", type=int, default=90)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--pe", action="store_true")
+    args = ap.parse_args()
+
+    from bitmapperbs_tpu.config import AlignerConfig
+    from bitmapperbs_tpu.index.build import build_index, load_index, save_index
+    from bitmapperbs_tpu.index.device import upload_index
+    from bitmapperbs_tpu.models.aligner import map_batch_device
+    from bitmapperbs_tpu.models.host import map_batch_tpu, prepare_batch
+    from bitmapperbs_tpu.utils.simulate import (random_genome_fasta,
+                                                simulate_reads_bulk)
+
+    cache = {100_000_000: "/tmp/idx_100m",
+             10_000_000: "/tmp/profile_idx_10m"}.get(args.genome_bp)
+    if cache and os.path.exists(cache + ".json"):
+        idx = load_index(cache)
+    else:
+        rng = np.random.default_rng(7)
+        idx = build_index(random_genome_fasta(
+            rng, contigs=(args.genome_bp // 2, args.genome_bp // 2)))
+        if cache:
+            save_index(idx, cache)
+    dix = upload_index(idx)
+    B = args.batch
+    cfg = AlignerConfig(max_errors=4, indels=True, read_len_bucket=96,
+                        batch_size=B)
+    keys = ("best_score", "best_bp", "best_anchor", "second_score",
+            "overflow", "gdrop")
+
+    codes, ci, coord, si = simulate_reads_bulk(
+        idx.genome, args.n, read_len=args.read_len, seed=args.seed,
+        sub_rate=0.01)
+    lengths = np.full(args.n, args.read_len, np.int32)
+
+    # ---- layer 1: compact vs dense, full corpus ---------------------------
+    t0 = time.time()
+    n_bad = n_gdrop = 0
+    halves = []       # for layer 2: remap with a shifted batch split
+    for lo in range(0, args.n, B):
+        arr = np.full((B, 96), 4, np.uint8)
+        m = min(B, args.n - lo)
+        arr[:m, :args.read_len] = codes[lo:lo + m]
+        arr[m:, :] = 0
+        ln = np.full(B, args.read_len, np.int32)
+        arr_j, ln_j = jnp.asarray(arr), jnp.asarray(ln)
+        comp = _as_np(map_batch_device(dix, cfg, arr_j, ln_j))
+        dense = _as_np(map_batch_device(dix, cfg.replace(compact=False),
+                                        arr_j, ln_j))
+        n_gdrop += int(comp["gdrop"].sum())
+        ok_lanes = ~comp["gdrop"]   # gdrop lanes are DEFINED to differ
+        sel = {k: np.where(ok_lanes, comp[k], dense[k]) for k in keys}
+        bad = _diff(sel, dense, keys, "compact-vs-dense")
+        for k, at, av, bv in bad:
+            print(f"MISMATCH batch@{lo} {k} lanes {at}: {av} vs {bv}")
+            n_bad += 1
+        halves.append((comp, m, lo))
+    print(f"layer1 compact-vs-dense: {args.n} reads, {n_bad} mismatches, "
+          f"{n_gdrop} gdrop fallbacks, {time.time()-t0:.0f}s", flush=True)
+
+    # ---- layer 2: batch-split invariance (offset split by B//2) ----------
+    t0 = time.time()
+    n_bad2 = 0
+    full = {k: np.concatenate([h[0][k][:h[1]] for h in halves])
+            for k in keys}
+    for lo in range(B // 2, args.n, B):
+        arr = np.full((B, 96), 4, np.uint8)
+        m = min(B, args.n - lo)
+        arr[:m, :args.read_len] = codes[lo:lo + m]
+        arr[m:, :] = 0
+        ln = np.full(B, args.read_len, np.int32)
+        comp = _as_np(map_batch_device(dix, cfg, jnp.asarray(arr),
+                                       jnp.asarray(ln)))
+        ok = ~(comp["gdrop"][:m] | full["gdrop"][lo:lo + m])
+        for k in ("best_score", "best_bp", "best_anchor", "second_score"):
+            neq = np.flatnonzero(ok & (comp[k][:m] != full[k][lo:lo + m]))
+            if len(neq):
+                print(f"SPLIT-MISMATCH @{lo} {k} lanes {neq[:5]}")
+                n_bad2 += 1
+    print(f"layer2 batch-split invariance: {n_bad2} mismatches, "
+          f"{time.time()-t0:.0f}s", flush=True)
+
+    # ---- layer 3: oracle SAM sampling -------------------------------------
+    t0 = time.time()
+    from bitmapperbs_tpu.oracle.pipeline import map_batch_se
+    sub = np.random.default_rng(args.seed + 1).choice(
+        args.n, size=min(args.oracle_sample, args.n), replace=False)
+    sub_reads = [codes[i] for i in sub]
+    qn = [f"s{i}" for i in sub]
+    quals = ["I" * args.read_len for _ in sub]
+    ocfg = cfg.replace(batch_size=len(sub))
+    oracle_sam = [r.line() for r in map_batch_se(idx, ocfg, sub_reads,
+                                                 quals, qn)]
+    device_sam = [r.line() for r in map_batch_tpu(idx, dix, ocfg, sub_reads,
+                                                  quals, qn)]
+    n_bad3 = sum(1 for a, b in zip(oracle_sam, device_sam) if a != b)
+    for a, b in zip(oracle_sam, device_sam):
+        if a != b:
+            print(f"ORACLE-MISMATCH:\n  oracle: {a}\n  device: {b}")
+    print(f"layer3 oracle SAM sample ({len(sub)} reads): {n_bad3} "
+          f"mismatches, {time.time()-t0:.0f}s", flush=True)
+
+    total_bad = n_bad + n_bad2 + n_bad3
+    print("CLEAN" if total_bad == 0 else f"FAILED: {total_bad} mismatches")
+    return 1 if total_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,16 @@
+"""CI smoke for the large-scale differential harness (scripts/crossdiff.py).
+
+The full harness runs 10^5 reads at 100 Mbp on the TPU in minutes; here it
+runs a miniature corpus on CPU so the three layers (compact-vs-dense,
+batch-split invariance, oracle SAM sampling) stay wired and green.
+"""
+import sys
+
+
+def test_crossdiff_smoke(monkeypatch):
+    from scripts import crossdiff
+
+    monkeypatch.setattr(sys, "argv", [
+        "crossdiff.py", "--n", "600", "--genome-bp", "300000",
+        "--batch", "256", "--oracle-sample", "12", "--read-len", "64"])
+    assert crossdiff.main() == 0
