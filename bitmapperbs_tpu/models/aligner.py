@@ -395,11 +395,20 @@ def candidate_grids_compact(dix: DeviceIndex, cfg: AlignerConfig, reads,
         Ww = -(-ncols // 32)                                      # == Wd + 1
         wide = verify.window_planes(dix.g_planes, blkS, cand - U32(e),
                                     Ww, L, dix.idx_axis)
-        ham = verify.hamming(_shift_planes(wide, e, Wd), (d0, d1, dn),
-                             lenmask)
-        peq = _peq_from_planes(d0, d1, dn, padv)
-        med = myers_fn(cfg)(wide, peq, padv, m, ncols)
-        score = jnp.where(ham <= e, ham, med)
+        if cfg.use_pallas and jax.default_backend() == "tpu":
+            # ONE fused kernel: funnel shift + popcount-over-XOR Hamming +
+            # in-register PEQ + Myers + select (BASELINE C11/C12 mandate);
+            # bit-identical to the jnp sequence below (tested by the
+            # crossdiff harness: compact-fused vs dense-unfused on TPU)
+            from bitmapperbs_tpu.ops.pallas_kernels import verify_fused_pallas
+            score = verify_fused_pallas(wide, (d0, d1, dn), lenmask,
+                                        m, ncols, e)
+        else:
+            ham = verify.hamming(_shift_planes(wide, e, Wd), (d0, d1, dn),
+                                 lenmask)
+            peq = _peq_from_planes(d0, d1, dn, padv)
+            med = myers_fn(cfg)(wide, peq, padv, m, ncols)
+            score = jnp.where(ham <= e, ham, med)
     else:
         ref = verify.window_planes(dix.g_planes, blkS, cand, Wd, L,
                                    dix.idx_axis)

@@ -1,0 +1,131 @@
+"""Human-scale (3.08 Gbp) benchmark + accuracy (BASELINE config 5 scale).
+
+Loads the cached 3.08 Gbp index (/tmp/idx_3g, built by the session's
+background SA-IS run), uploads to the chip, and measures:
+  - SE throughput at 4k and 16k batches (+ gdrop / overflow rates)
+  - PE throughput at 4k pairs
+  - accuracy vs simulated truth (recall / precision)
+  - optional deeper k-mer table (--klt 15/16): rebuilt post-hoc from the
+    packed block (no SA-IS rerun) to measure the seeding-step saving
+
+Run: python scripts/human_bench.py [--cache /tmp/idx_3g] [--klt 15]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cache", default="/tmp/idx_3g")
+    ap.add_argument("--klt", type=int, default=0,
+                    help="rebuild the k-mer table at this depth first")
+    ap.add_argument("--batches", default="4096,16384")
+    ap.add_argument("--pe", action="store_true", default=True)
+    ap.add_argument("--no-pe", dest="pe", action="store_false")
+    args = ap.parse_args()
+
+    from bitmapperbs_tpu.config import AlignerConfig
+    from bitmapperbs_tpu.index.build import build_klt, load_index
+    from bitmapperbs_tpu.index.device import upload_index
+    from bitmapperbs_tpu.models.aligner import INF, map_batch_device
+    from bitmapperbs_tpu.models.host import prepare_batch
+    from bitmapperbs_tpu.utils.simulate import simulate_pairs, simulate_reads
+
+    t0 = time.time()
+    idx = load_index(args.cache)
+    print(f"loaded {sum(idx.genome.lengths)/1e9:.2f} Gbp index in "
+          f"{time.time()-t0:.0f}s (sa_rate={idx.blocks[0].sa_rate} "
+          f"klt_k={idx.blocks[0].klt_k} {idx.nbytes()/1e9:.2f} GB)",
+          flush=True)
+
+    if args.klt:
+        t0 = time.time()
+        for b in idx.blocks:
+            b.klt = build_klt(b, args.klt)
+            b.klt_k = args.klt
+        print(f"rebuilt KLT at k={args.klt} in {time.time()-t0:.0f}s "
+              f"({idx.blocks[0].klt.nbytes * 2 / 1e6:.0f} MB)", flush=True)
+
+    t0 = time.time()
+    dix = upload_index(idx)
+    jax.block_until_ready(dix.cp_rows)
+    print(f"uploaded {dix.nbytes/1e9:.2f} GB to HBM in {time.time()-t0:.0f}s",
+          flush=True)
+    L = idx.genome.length
+
+    def se_run(batch, sims, label):
+        cfg = AlignerConfig(max_errors=4, indels=True, read_len_bucket=96,
+                            batch_size=batch)
+        arr, lengths = prepare_batch([s.codes for s in sims], 96, batch)
+        arr, lengths = jnp.asarray(arr), jnp.asarray(lengths)
+        out = map_batch_device(dix, cfg, arr, lengths)
+        jax.block_until_ready(out)
+        iters = 6
+        t0 = time.perf_counter()
+        outs = [map_batch_device(dix, cfg, arr, lengths)
+                for _ in range(iters)]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / iters
+        bs = np.asarray(out["best_score"])
+        ba = np.asarray(out["best_anchor"])
+        bp = np.asarray(out["best_bp"])
+        lens = np.asarray(lengths)
+        mapped = correct = 0
+        for i, s in enumerate(sims):
+            if bs[i] >= int(INF):
+                continue
+            mapped += 1
+            b = int(bp[i]) >> 1
+            a = int(ba[i])
+            fwd = a if b == 0 else L - a - int(lens[i])
+            true = int(idx.genome.offsets[s.contig]) + s.coord
+            correct += abs(fwd - true) <= 4
+        print(f"{label}: {batch/dt:.0f} reads/s/chip ({dt*1e3:.1f} ms) "
+              f"mapped={mapped}/{len(sims)} correct={correct} "
+              f"recall={correct/len(sims):.4f} "
+              f"ovf={int(np.asarray(out['overflow']).sum())} "
+              f"gdrop={int(np.asarray(out['gdrop']).sum())}", flush=True)
+
+    for batch in (int(b) for b in args.batches.split(",")):
+        sims = simulate_reads(idx.genome, batch, read_len=90, seed=1,
+                              sub_rate=0.01, indel_rate=0.005)
+        sims = (sims * batch)[:batch]
+        se_run(batch, sims, f"3.08G SE b={batch}")
+
+    if args.pe:
+        from bitmapperbs_tpu.models.paired import map_batch_pe_device
+        pe_b = 4096
+        cfg = AlignerConfig(max_errors=4, indels=True, read_len_bucket=96,
+                            batch_size=pe_b, paired=True, min_insert=0,
+                            max_insert=500)
+        prs = simulate_pairs(idx.genome, pe_b, read_len=90, seed=2,
+                             sub_rate=0.01, indel_rate=0.005,
+                             min_insert=150, max_insert=480)
+        prs = (prs * pe_b)[:pe_b]
+        a1, l1 = prepare_batch([p[0].codes for p in prs], 96, pe_b)
+        a2, l2 = prepare_batch([p[1].codes for p in prs], 96, pe_b)
+        pe_args = tuple(jnp.asarray(x) for x in (a1, l1, a2, l2))
+        out = map_batch_pe_device(dix, cfg, *pe_args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        outs = [map_batch_pe_device(dix, cfg, *pe_args) for _ in range(4)]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / 4
+        n_prop = int(np.asarray(out["pair_valid"]).sum())
+        print(f"3.08G PE b={pe_b}: {2*pe_b/dt:.0f} reads/s/chip "
+              f"({dt*1e3:.1f} ms) proper={n_prop}/{pe_b}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
