@@ -65,8 +65,13 @@ class AlignerConfig:
         hard = num_frames * self.locate_budget   # per-read entries never exceed
         if self.locate_flat_cap > 0:
             return min(self.locate_flat_cap, hard)
-        return int(np.clip(-(-genome_len // 1_500_000), 16,
-                           min(hard, self.flat_cap_max)))
+        # Fitted to measured mean occupancy (PERF.md round-2 cap tuning):
+        # 6.5 entries/read at 10 Mbp, 29.4 at 100 Mbp -> occupancy ~
+        # (len/1M)^0.66; cap at ~1.5x the mean leaves gdrop-free headroom
+        # while cutting the idle-lane locate/verify gather volume that a
+        # round-up cap was paying (cap 67 -> 42 at 100 Mbp = +46% SE).
+        est = int(np.ceil(2.0 * (genome_len / 1e6) ** 0.66))
+        return int(np.clip(est, 10, min(hard, self.flat_cap_max)))
 
     # --- output ------------------------------------------------------------
     report_ambiguous: bool = True   # emit MAPQ-0 record vs suppress
