@@ -70,7 +70,10 @@ class AlignerConfig:
         # (len/1M)^0.66; cap at ~1.5x the mean leaves gdrop-free headroom
         # while cutting the idle-lane locate/verify gather volume that a
         # round-up cap was paying (cap 67 -> 42 at 100 Mbp = +46% SE).
-        est = int(np.ceil(2.0 * (genome_len / 1e6) ** 0.66))
+        # num_frames scales occupancy ~linearly (non-directional = 4 frames
+        # = ~2x the entries of directional's 2; measured: PBAT at 100 Mbp
+        # gdropped 43% of reads under the 2-frame cap)
+        est = int(np.ceil((genome_len / 1e6) ** 0.66 * num_frames))
         return int(np.clip(est, 10, min(hard, self.flat_cap_max)))
 
     # --- output ------------------------------------------------------------
