@@ -31,8 +31,10 @@ class DeviceIndex:
     cbase: jax.Array        # uint32[2, CONV_ALPHA]
     sa_samples: jax.Array   # uint32[2 * samples_max] (flat; shardable)
     n: jax.Array            # uint32[2] text lengths (incl sentinel)
-    # original genome, bit-packed planes, fwd + rc orientations
-    g_planes: jax.Array     # uint32[2, words, 3]: [orient][word][b0,b1,nmask]
+    # original genome, bit-packed planes, fwd + rc orientations.  FLAT
+    # rows (block-0 words then block-1 words), fixed at upload so no jit
+    # ever reshapes the multi-GB table (and sharded row math is uniform).
+    g_planes: jax.Array     # uint32[2 * g_words, 3]: row -> [b0, b1, nmask]
     # k-mer lookup table (constants.py KLT): first klt_k backward-search
     # steps in one gather; always replicated (worst case 3^14 * 2 u32
     # = 38 MB per block, 76 MB both blocks at KLT_MAX_K=14).
@@ -43,6 +45,9 @@ class DeviceIndex:
     sa_rate: int = dataclasses.field(default=K.DEFAULT_SA_RATE,
                                      metadata=dict(static=True))
     klt_k: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # per-block GLOBAL g_planes row count (block-1 rows start at this offset;
+    # needed by sharded fetches where the local array is only a row range)
+    g_words: int = dataclasses.field(default=0, metadata=dict(static=True))
     # sharded-index mode (BASELINE: index "replicated or sharded"): when set,
     # cp_rows / sa_samples / g_planes hold only this device's shard along
     # their major axis and every fetch psums partial gathers over this axis.
@@ -91,11 +96,12 @@ def upload_index(idx: BSIndex, device=None) -> DeviceIndex:
         cbase=put(np.stack([b.cbase for b in idx.blocks])),
         sa_samples=put(sa.reshape(-1)),
         n=put(np.array([b.n for b in idx.blocks], dtype=np.uint32)),
-        g_planes=put(gp),
+        g_planes=put(gp.reshape(2 * (words + 1), 3)),
         klt=put(klt.reshape(2 * 3 ** klt_k, 2)),
         rows_max=rows_max,
         genome_len=idx.genome.length,
         samples_max=sa.shape[1],
         sa_rate=idx.blocks[0].sa_rate,
         klt_k=klt_k,
+        g_words=words + 1,
     )

@@ -210,7 +210,8 @@ def candidate_grids(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths,
     lenmask = verify.length_mask(lengths, m)[:, None, :]         # B,1,Wd
     block_kc = jnp.broadcast_to(blocks[None, :, None], (B, F, Kc))
     ref_planes = verify.window_planes(
-        dix.g_planes, block_kc, jnp.where(c_ok, cand, 0), Wd, L, dix.idx_axis)
+        dix.g_planes, block_kc, jnp.where(c_ok, cand, 0), Wd, L,
+        dix.idx_axis, dix.g_words)
     rp = tuple(p[:, :, None, :] for p in read_planes)
     ham = verify.hamming(ref_planes, rp, lenmask[:, :, None, :])  # B,F,Kc
 
@@ -219,7 +220,8 @@ def candidate_grids(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths,
         Ww = -(-ncols // 32)
         win_planes = verify.window_planes(
             dix.g_planes, block_kc,
-            jnp.where(c_ok, cand, 0) - U32(e), Ww, L, dix.idx_axis)
+            jnp.where(c_ok, cand, 0) - U32(e), Ww, L, dix.idx_axis,
+            dix.g_words)
         peq, pad = verify.build_peq(frame_reads, lengths[:, None], m)
         peq_b = jnp.broadcast_to(peq[:, :, None], (B, F, Kc, 4, Wd))
         pad_b = jnp.broadcast_to(pad[:, :, None], (B, F, Kc, Wd))
@@ -394,7 +396,7 @@ def candidate_grids_compact(dix: DeviceIndex, cfg: AlignerConfig, reads,
         ncols = m + 2 * e
         Ww = -(-ncols // 32)                                      # == Wd + 1
         wide = verify.window_planes(dix.g_planes, blkS, cand - U32(e),
-                                    Ww, L, dix.idx_axis)
+                                    Ww, L, dix.idx_axis, dix.g_words)
         if cfg.use_pallas and jax.default_backend() == "tpu":
             # ONE fused kernel: funnel shift + popcount-over-XOR Hamming +
             # in-register PEQ + Myers + select (BASELINE C11/C12 mandate);
@@ -411,7 +413,7 @@ def candidate_grids_compact(dix: DeviceIndex, cfg: AlignerConfig, reads,
             score = jnp.where(ham <= e, ham, med)
     else:
         ref = verify.window_planes(dix.g_planes, blkS, cand, Wd, L,
-                                   dix.idx_axis)
+                                   dix.idx_axis, dix.g_words)
         score = verify.hamming(ref, (d0, d1, dn), lenmask)
     score = jnp.where(keep & (score <= e), score, INF)
 

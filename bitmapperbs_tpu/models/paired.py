@@ -209,7 +209,8 @@ def map_batch_pe_device(dix: DeviceIndex, cfg: AlignerConfig,
         Ww = -(-ncols // 32)
         win_start = jnp.where(r_ok, a_lo - U32(e), 0)      # wrap >= -e legal
         win = verify.window_planes(
-            dix.g_planes, block, win_start, Ww, L, dix.idx_axis)
+            dix.g_planes, block, win_start, Ww, L, dix.idx_axis,
+            dix.g_words)
         if cfg.use_pallas and jax.default_backend() == "tpu":
             from bitmapperbs_tpu.ops.pallas_kernels import myers_scan_pallas
             scan_fn = myers_scan_pallas
@@ -243,7 +244,7 @@ def map_batch_pe_device(dix: DeviceIndex, cfg: AlignerConfig,
         rp = tuple(pl[:, None, :] for pl in ms_planes)
         ref = verify.window_planes(
             dix.g_planes, jnp.broadcast_to(block[:, None], (B, R)),
-            jnp.where(p_ok, a_ms, 0), Wd, L, dix.idx_axis)
+            jnp.where(p_ok, a_ms, 0), Wd, L, dix.idx_axis, dix.g_words)
         rham = verify.hamming(ref, rp, ms_lenmask[:, None, :])
         rscore = jnp.where(p_ok & (rham <= e), rham, INF)  # B,R
         rs_best = rscore.min(axis=-1)

@@ -57,34 +57,39 @@ def length_mask(lengths, m: int):
 
 
 def window_planes(g_planes, orient, start, nwords: int, genome_len: int,
-                  idx_axis: str | None = None):
+                  idx_axis: str | None = None, g_words: int | None = None):
     """Extract `nwords` position-aligned uint32 words per lane from the
     packed genome planes, starting at (possibly wrapped-negative) `start`.
 
-    g_planes: uint32[2, W, 3] (orientation, words, [b0, b1, nmask]) --
-    plane-INTERLEAVED so one 12-byte ROW gather fetches all three planes of
-    a word (TPU gather cost is per row; 3x fewer gathers than per-plane).
-    Word 0 of every plane is a zero pad word (see upload_index) so that
+    g_planes: uint32[2 * W, 3] FLAT rows (block-0 words then block-1 words;
+    [b0, b1, nmask] interleaved so one 12-byte ROW gather fetches all three
+    planes of a word -- TPU gather cost is per row).  The flat layout
+    keeps the in-jit view reshape-free (layout fixed at upload; measured
+    equal temp memory, but no reliance on XLA folding the reshape) and
+    makes the sharded row math uniform.  A legacy (2, W, 3) input is
+    still accepted (tests/scripts) and reshaped here.
+    Word 0 of every block is a zero pad word (see upload_index) so that
     wrapped-negative starts down to -32 resolve via the +32 bias below.
+    g_words: per-block GLOBAL row count W (required for the sharded layout,
+    where g_planes holds only this device's row range; defaults to
+    rows/2 for replicated flat input).
     orient:   int32 lanes (0 fwd / 1 rc); start: uint32 lanes.
     Out-of-range positions (start<0 via wraparound -- legal down to -32,
     i.e. anchor-e with e<=31 -- or >= genome_len) are N-filled, matching
     oracle frame_slice exactly.
     Returns (b0, b1, nmask): each uint32[..., nwords].
     """
-    W = g_planes.shape[1]           # local shard width when idx_axis is set
-    flat = g_planes.reshape(2 * W, 3)
-    if idx_axis is not None:
-        import jax as _jax
-        Wg = W * _jax.lax.axis_size(idx_axis)
-        wbase = (_jax.lax.axis_index(idx_axis) * W).astype(jnp.int32)
+    if g_planes.ndim == 3:          # legacy layout (replicated only)
+        W = g_planes.shape[1]
+        flat = g_planes.reshape(2 * W, 3)
     else:
-        Wg = W
+        flat = g_planes
+        W = g_words if g_words is not None else flat.shape[0] // 2
     sh = (start & 31).astype(U32)
     # +32 bias into the zero-padded plane: unwraps starts in [-32, 0)
     wi = ((start + 32) >> 5).astype(jnp.int32)
     offs = jnp.arange(nwords + 1, dtype=jnp.int32)
-    rows = jnp.clip(wi[..., None] + offs, 0, Wg - 1)
+    rows = jnp.clip(wi[..., None] + offs, 0, W - 1)
 
     def funnel(raw):
         lo = raw[..., :-1]
@@ -96,9 +101,13 @@ def window_planes(g_planes, orient, start, nwords: int, genome_len: int,
     if idx_axis is None:
         raw3 = flat[ob * W + rows]                       # ..., nwords+1, 3
     else:
-        local = rows - wbase
-        ok = (local >= 0) & (local < W)
-        raw3 = flat[ob * W + jnp.clip(local, 0, W - 1)]
+        # sharded flat rows: this device holds rows [base, base + Rl)
+        Rl = flat.shape[0]
+        base = (jax.lax.axis_index(idx_axis) * Rl).astype(jnp.int32)
+        g = ob * W + rows
+        local = g - base
+        ok = (local >= 0) & (local < Rl)
+        raw3 = flat[jnp.clip(local, 0, Rl - 1)]
         raw3 = jax.lax.psum(jnp.where(ok[..., None], raw3, 0), idx_axis)
     b0, b1, nm = (funnel(raw3[..., p]) for p in range(3))
 

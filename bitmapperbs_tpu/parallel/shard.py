@@ -61,13 +61,15 @@ def upload_index_sharded(idx: BSIndex, mesh: Mesh,
     cp = per_block_pad(host.cp_rows, host.rows_max, rows_max)
     samples_max = -(-host.samples_max // ns) * ns
     sa = per_block_pad(host.sa_samples, host.samples_max, samples_max)
-    gp = _pad_to(np.asarray(host.g_planes), ns, axis=1)
+    # g_planes is flat (2 * g_words, 3); pad rows at the END to a multiple
+    # of the axis size (block offsets unchanged) and shard over rows
+    gp = _pad_to(np.asarray(host.g_planes), ns, axis=0)
 
     cp_d = jax.device_put(jnp.asarray(cp),
                           NamedSharding(mesh, P(idx_axis, None)))
     sa_d = jax.device_put(jnp.asarray(sa), NamedSharding(mesh, P(idx_axis)))
     gp_d = jax.device_put(jnp.asarray(gp),
-                          NamedSharding(mesh, P(None, idx_axis, None)))
+                          NamedSharding(mesh, P(idx_axis, None)))
     rep = NamedSharding(mesh, P())
     return DeviceIndex(
         cp_rows=cp_d,
@@ -81,6 +83,7 @@ def upload_index_sharded(idx: BSIndex, mesh: Mesh,
         samples_max=samples_max,
         sa_rate=host.sa_rate,
         klt_k=host.klt_k,
+        g_words=host.g_words,
         idx_axis=idx_axis,
     )
 
@@ -91,13 +94,13 @@ def _dix_specs(dix: DeviceIndex, idx_axis: str | None):
             cp_rows=P(), cbase=P(), sa_samples=P(), n=P(), g_planes=P(),
             klt=P(), rows_max=dix.rows_max, genome_len=dix.genome_len,
             samples_max=dix.samples_max, sa_rate=dix.sa_rate,
-            klt_k=dix.klt_k, idx_axis=None)
+            klt_k=dix.klt_k, g_words=dix.g_words, idx_axis=None)
     return DeviceIndex(
         cp_rows=P(idx_axis, None), cbase=P(), sa_samples=P(idx_axis),
-        n=P(), g_planes=P(None, idx_axis, None), klt=P(),
+        n=P(), g_planes=P(idx_axis, None), klt=P(),
         rows_max=dix.rows_max, genome_len=dix.genome_len,
         samples_max=dix.samples_max, sa_rate=dix.sa_rate,
-        klt_k=dix.klt_k, idx_axis=idx_axis)
+        klt_k=dix.klt_k, g_words=dix.g_words, idx_axis=idx_axis)
 
 
 def make_sharded_se_mapper(cfg: AlignerConfig, mesh: Mesh,
