@@ -170,9 +170,15 @@ def cmd_search(args) -> int:
         sys.stderr.write("error: single-end search requires --seq\n")
         return 2
 
-    prefix = default_prefix(args.ref)
-    if not os.path.exists(prefix + ".npz"):
-        sys.stderr.write(f"error: index not found at {prefix}.npz "
+    # ref may be the FASTA path (resolves <ref>.btidx) or an index prefix
+    # built with `index --prefix` (possibly with the .npz suffix spelled out)
+    for prefix in (default_prefix(args.ref), args.ref,
+                   args.ref[:-4] if args.ref.endswith(".npz") else None):
+        if prefix is not None and os.path.exists(prefix + ".npz"):
+            break
+    else:
+        sys.stderr.write(f"error: index not found at "
+                         f"{default_prefix(args.ref)}.npz "
                          f"(run: bitmapperbs_tpu index {args.ref})\n")
         return 2
     cfg = make_config(args)

@@ -60,6 +60,33 @@ class DeviceIndex:
                    (self.cp_rows, self.sa_samples, self.g_planes))
 
 
+# Single device_put RPCs through the remote-TPU tunnel fail (UNAVAILABLE)
+# once the array exceeds the transport's message cap (observed on the
+# ~3.3 GB cp_rows of a 3.08 Gbp index).  Chunk big arrays: stream row
+# ranges and stitch them into a donated device buffer, so peak HBM is
+# full-array + one chunk and no RPC carries more than _CHUNK_BYTES.
+_CHUNK_BYTES = 256 << 20
+_PUT_THRESHOLD = 1 << 30
+
+
+def _chunked_put(x: np.ndarray, device):
+    if x.nbytes <= _PUT_THRESHOLD:
+        return jax.device_put(jnp.asarray(x), device)
+    row_bytes = max(1, x.nbytes // max(1, x.shape[0]))
+    rows = max(1, _CHUNK_BYTES // row_bytes)
+
+    def _update(buf, chunk, start):
+        return jax.lax.dynamic_update_slice_in_dim(buf, chunk, start, axis=0)
+
+    update = jax.jit(_update, donate_argnums=0)
+    buf = jax.device_put(jnp.zeros(x.shape, dtype=x.dtype), device)
+    for s in range(0, x.shape[0], rows):
+        chunk = jax.device_put(jnp.asarray(x[s:s + rows]), device)
+        buf = update(buf, chunk, jnp.int32(s))
+        del chunk
+    return jax.block_until_ready(buf)
+
+
 def upload_index(idx: BSIndex, device=None) -> DeviceIndex:
     """Host BSIndex -> device arrays."""
     rows_max = max(b.cp_rows.shape[0] for b in idx.blocks)
@@ -90,7 +117,7 @@ def upload_index(idx: BSIndex, device=None) -> DeviceIndex:
     assert all(b.klt_k == klt_k for b in idx.blocks)
     klt = np.stack([b.klt for b in idx.blocks])       # [2, 3^k, 2]
 
-    put = lambda x: jax.device_put(jnp.asarray(x), device)
+    put = lambda x: _chunked_put(np.ascontiguousarray(x), device)
     return DeviceIndex(
         cp_rows=put(cp.reshape(2 * rows_max, K.CP_ROW_U32)),
         cbase=put(np.stack([b.cbase for b in idx.blocks])),

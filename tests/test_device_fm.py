@@ -129,3 +129,16 @@ def test_klt_entries_match_count(setup, rng):
             assert got[0] >= got[1]
         else:
             assert (int(got[0]), int(got[1])) == (wsp, wep)
+
+
+def test_chunked_put_matches_direct(setup, monkeypatch):
+    """Chunked upload (tunnel RPC-size workaround) is bit-identical to a
+    direct device_put, including the non-divisible last chunk."""
+    from bitmapperbs_tpu.index import device as dev
+    idx, dix = setup
+    monkeypatch.setattr(dev, "_PUT_THRESHOLD", 64)
+    monkeypatch.setattr(dev, "_CHUNK_BYTES", 1000)   # forces ragged chunks
+    dix2 = dev.upload_index(idx)
+    for f in ("cp_rows", "cbase", "sa_samples", "n", "g_planes", "klt"):
+        np.testing.assert_array_equal(np.asarray(getattr(dix, f)),
+                                      np.asarray(getattr(dix2, f)), err_msg=f)
