@@ -101,6 +101,14 @@ def main():
                          ("/tmp/idx_3g", "3.08 Gbp human-scale")):
         if not os.path.exists(cache + ".json"):
             continue
+        if cache.endswith("_3g") and not os.environ.get("BTBS_BENCH_3G"):
+            # loading + uploading the 9.5 GB artifact is ~20 min -- far past
+            # this script's ~5 min budget.  Measured numbers live in
+            # BASELINE.md (scripts/human_bench.py reproduces them).
+            sys.stderr.write("[bench] 3.08 Gbp bench skipped (set "
+                             "BTBS_BENCH_3G=1 or run scripts/human_bench.py;"
+                             " measured numbers in BASELINE.md)\n")
+            continue
         try:
             big = load_index(cache)
             dix_b = upload_index(big)

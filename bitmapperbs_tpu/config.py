@@ -60,6 +60,14 @@ class AlignerConfig:
     # spec path via gdrop instead.  128 keeps the human-genome buffer at
     # its measured round-1 size while the per-frame budgets above grew 4x.
     flat_cap_max: int = 128
+    # Occupancy-chunked flat stages: run locate/verify over the flat buffer
+    # in this many fixed-size lane chunks via lax.while_loop and STOP after
+    # the last occupied slot, so a batch pays for its actual candidate
+    # occupancy (~65-70% of the 1.5x-mean-fitted cap) instead of the full
+    # buffer.  Bit-identical: skipped lanes are exactly the ones every
+    # consumer already masks.  0 = off (single full-buffer pass).  Ignored
+    # in sharded-index mode (collectives inside a data-dependent loop).
+    flat_chunks: int = 0
 
     def resolve_flat_cap(self, genome_len: int, num_frames: int) -> int:
         hard = num_frames * self.locate_budget   # per-read entries never exceed

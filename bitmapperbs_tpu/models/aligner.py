@@ -282,6 +282,45 @@ def _peq_from_planes(d0, d1, dn, pad):
                      axis=-2)
 
 
+def _chunked_lanes(nchunks: int, n_used, outs_init, args, fn):
+    """Run per-lane `fn` over flat-buffer chunks, skipping whole chunks past
+    the last occupied slot (`n_used`, traced scalar).
+
+    args/outs_init: arrays with a leading CAP lane axis.  fn(*chunk_args) ->
+    tuple matching outs_init.  Lanes the loop never visits keep their
+    outs_init values -- callers must already mask those lanes (true for the
+    locate and verify stages: every lane >= n_used has ok/keep False).
+    Chunks are fixed-size so the loop body compiles once.
+    """
+    CAP = args[0].shape[0]
+    C = -(-CAP // nchunks)
+    pad = nchunks * C - CAP
+
+    def padded(a):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) if pad \
+            else a
+
+    argsP = tuple(padded(a) for a in args)
+    outsP = tuple(padded(o) for o in outs_init)
+    n_used = n_used.astype(jnp.int32)
+
+    def cond(st):
+        i = st[0]
+        return (i < nchunks) & (i * C < n_used)
+
+    def body(st):
+        i, outs = st
+        sl = tuple(jax.lax.dynamic_slice_in_dim(a, i * C, C, 0)
+                   for a in argsP)
+        res = fn(*sl)
+        outs = tuple(jax.lax.dynamic_update_slice_in_dim(o, r, i * C, 0)
+                     for o, r in zip(outs, res))
+        return i + 1, outs
+
+    _, outs = jax.lax.while_loop(cond, body, (jnp.int32(0), outsP))
+    return tuple(o[:CAP] for o in outs)
+
+
 def candidate_grids_compact(dix: DeviceIndex, cfg: AlignerConfig, reads,
                             lengths, frames: tuple[tuple[int, int], ...]):
     """candidate_grids over a FLAT buffer of occupied slots.
@@ -342,7 +381,8 @@ def candidate_grids_compact(dix: DeviceIndex, cfg: AlignerConfig, reads,
     gs = jax.lax.cummax(
         jnp.zeros(CAP + 1, jnp.int32).at[dst].max(gstart.reshape(-1))[:CAP])
     g = jnp.arange(CAP, dtype=jnp.int32)
-    ok = g < frame_base[-1] + frame_occ[-1]   # buffer is packed
+    n_used = (frame_base[-1] + frame_occ[-1]).astype(jnp.int32)
+    ok = g < n_used                           # buffer is packed
     # one stacked per-(frame,seed) table gather instead of three
     len_bfs = jnp.broadcast_to(lengths[:, None, None], (B, F, S))
     seed_tab = jnp.stack(
@@ -356,7 +396,13 @@ def candidate_grids_compact(dix: DeviceIndex, cfg: AlignerConfig, reads,
     blk = _blocks_select(frames, fidx % F)
 
     # ---- locate + anchor projection ----------------------------------------
-    tp = fm.locate(dix, blk, sa_row, ok)
+    chunks = cfg.flat_chunks if dix.idx_axis is None else 0
+    if chunks > 1:
+        (tp,) = _chunked_lanes(
+            chunks, n_used, (jnp.zeros(CAP, U32),), (blk, sa_row, ok),
+            lambda b_, r_, o_: (fm.locate(dix, b_, r_, o_),))
+    else:
+        tp = fm.locate(dix, blk, sa_row, ok)
     anchor = tp - st.astype(U32)
     n_lane = fm.block_n(dix, blk)
     a_ok = ok & (tp >= st.astype(U32)) & (
@@ -392,29 +438,40 @@ def candidate_grids_compact(dix: DeviceIndex, cfg: AlignerConfig, reads,
     lenmask = verify.length_mask(lenS, m)                        # CAP,Wd
     padv = ~lenmask
 
-    if cfg.indels and e > 0:
-        ncols = m + 2 * e
-        Ww = -(-ncols // 32)                                      # == Wd + 1
-        wide = verify.window_planes(dix.g_planes, blkS, cand - U32(e),
-                                    Ww, L, dix.idx_axis, dix.g_words)
-        if cfg.use_pallas and jax.default_backend() == "tpu":
-            # ONE fused kernel: funnel shift + popcount-over-XOR Hamming +
-            # in-register PEQ + Myers + select (BASELINE C11/C12 mandate);
-            # bit-identical to the jnp sequence below (tested by the
-            # crossdiff harness: compact-fused vs dense-unfused on TPU)
-            from bitmapperbs_tpu.ops.pallas_kernels import verify_fused_pallas
-            score = verify_fused_pallas(wide, (d0, d1, dn), lenmask,
-                                        m, ncols, e)
-        else:
-            ham = verify.hamming(_shift_planes(wide, e, Wd), (d0, d1, dn),
-                                 lenmask)
-            peq = _peq_from_planes(d0, d1, dn, padv)
-            med = myers_fn(cfg)(wide, peq, padv, m, ncols)
-            score = jnp.where(ham <= e, ham, med)
-    else:
-        ref = verify.window_planes(dix.g_planes, blkS, cand, Wd, L,
+    def _verify_lanes(blk_, cand_, d0_, d1_, dn_, lm_, pv_):
+        if cfg.indels and e > 0:
+            ncols = m + 2 * e
+            Ww = -(-ncols // 32)                                  # == Wd + 1
+            wide = verify.window_planes(dix.g_planes, blk_, cand_ - U32(e),
+                                        Ww, L, dix.idx_axis, dix.g_words)
+            if cfg.use_pallas and jax.default_backend() == "tpu":
+                # ONE fused kernel: funnel shift + popcount-over-XOR Hamming
+                # + in-register PEQ + Myers + select (BASELINE C11/C12
+                # mandate); bit-identical to the jnp sequence below (tested
+                # by the crossdiff harness: compact-fused vs dense-unfused)
+                from bitmapperbs_tpu.ops.pallas_kernels import \
+                    verify_fused_pallas
+                return (verify_fused_pallas(wide, (d0_, d1_, dn_), lm_,
+                                            m, ncols, e),)
+            ham = verify.hamming(_shift_planes(wide, e, Wd), (d0_, d1_, dn_),
+                                 lm_)
+            peq = _peq_from_planes(d0_, d1_, dn_, pv_)
+            med = myers_fn(cfg)(wide, peq, pv_, m, ncols)
+            return (jnp.where(ham <= e, ham, med),)
+        ref = verify.window_planes(dix.g_planes, blk_, cand_, Wd, L,
                                    dix.idx_axis, dix.g_words)
-        score = verify.hamming(ref, (d0, d1, dn), lenmask)
+        return (verify.hamming(ref, (d0_, d1_, dn_), lm_),)
+
+    v_args = (blkS, cand, d0, d1, dn, lenmask, padv)
+    if chunks > 1:
+        # valid (sorted-front) lanes only; skipped lanes keep INF and are
+        # masked by `keep` below anyway
+        n_valid = jnp.sum(validS.astype(jnp.int32))
+        (score,) = _chunked_lanes(chunks, n_valid,
+                                  (jnp.full(CAP, INF, jnp.int32),),
+                                  v_args, _verify_lanes)
+    else:
+        (score,) = _verify_lanes(*v_args)
     score = jnp.where(keep & (score <= e), score, INF)
 
     # ---- scatter back into the dense (B, F, Kc) grids ----------------------

@@ -153,3 +153,33 @@ def test_truncation_prefers_specific_seeds():
     assert recs[0].pos == 581, recs[0].line()
     oracle = map_batch_se(idx, cfg, [read])
     assert recs[0].line() == oracle[0].line()
+
+
+def test_flat_chunks_bit_identical(setup):
+    """Occupancy-chunked locate/verify (flat_chunks=N) must be bit-identical
+    to the single-pass compact path in every mode: skipped lanes are exactly
+    the masked ones."""
+    import jax.numpy as jnp
+    from bitmapperbs_tpu.models.aligner import map_batch_device
+    from bitmapperbs_tpu.models.host import prepare_batch
+
+    idx, dix = setup
+    B = 64
+    sims = simulate_reads(idx.genome, B, read_len=90, seed=9,
+                          sub_rate=0.02, indel_rate=0.01)
+    arr, lengths = prepare_batch([s.codes for s in sims], 96, B)
+    arr, lengths = jnp.asarray(arr), jnp.asarray(lengths)
+    for base in (
+        AlignerConfig(max_errors=4, indels=True, read_len_bucket=96,
+                      batch_size=B, use_pallas=False),
+        AlignerConfig(max_errors=3, indels=False, read_len_bucket=96,
+                      batch_size=B, non_directional=True, use_pallas=False),
+    ):
+        o0 = map_batch_device(dix, base, arr, lengths)
+        for nc in (2, 8, 13):
+            oc = map_batch_device(dix, base.replace(flat_chunks=nc),
+                                  arr, lengths)
+            for k in o0:
+                np.testing.assert_array_equal(
+                    np.asarray(o0[k]), np.asarray(oc[k]),
+                    err_msg=f"chunks={nc} key={k}")
