@@ -71,6 +71,11 @@ def build_parser():
     se.add_argument("-t", "--threads", type=int, default=1,
                     help="host IO worker threads (device does the mapping)")
     se.add_argument("--batch-size", type=int, default=4096)
+    se.add_argument("--flat-chunks", type=int, default=None, metavar="N",
+                    help="run locate/verify over the candidate buffer in N "
+                         "occupancy-bounded chunks (skip work past the last "
+                         "occupied slot; bit-identical; default: size-"
+                         "adaptive)")
     se.add_argument("--read-bucket", type=int, default=160,
                     help="padded read length (multiple of 32)")
     se.add_argument("--phred64", action="store_true")
@@ -144,6 +149,8 @@ def make_config(args):
         report_ambiguous=not args.suppress_ambiguous,
         sam_rg=args.rg,
     )
+    if getattr(args, "flat_chunks", None) is not None:
+        cfg = cfg.replace(flat_chunks=args.flat_chunks)
     if args.fast:
         cfg = cfg.replace(max_seed_occ=32, locate_budget=64, max_candidates=16)
     if args.sensitive:
