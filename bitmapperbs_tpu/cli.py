@@ -47,6 +47,17 @@ def build_parser():
                          "(~1 B/char peak -- whole-genome builds on small "
                          "hosts); auto picks by genome size")
 
+    rs = sub.add_parser(
+        "resample",
+        help="densify an index's SA samples (halve sa-rate) in place -- "
+             "faster locate without rebuilding the suffix array")
+    rs.add_argument("prefix", help="index prefix (from `index`)")
+    rs.add_argument("--sa-rate", type=int, default=None,
+                    help="target rate (default: half the current rate; must "
+                         "be current/2^k)")
+    rs.add_argument("--out", default=None,
+                    help="output prefix (default: rewrite in place)")
+
     se = sub.add_parser("search", help="map reads")
     se.add_argument("ref")
     se.add_argument("--seq", help="single-end FASTQ(.gz)")
@@ -158,6 +169,21 @@ def make_config(args):
                           max_candidates=128)
     cfg.validate()
     return cfg
+
+
+def cmd_resample(args) -> int:
+    from bitmapperbs_tpu.index.build import load_index, save_index
+    from bitmapperbs_tpu.index.resample import halve_sa_rate
+
+    t0 = time.time()
+    idx = load_index(args.prefix)
+    old = idx.blocks[0].sa_rate
+    halve_sa_rate(idx, args.sa_rate)
+    save_index(idx, args.out or args.prefix)
+    sys.stderr.write(
+        f"[bitmapperbs_tpu] sa_rate {old} -> {idx.blocks[0].sa_rate} "
+        f"({idx.nbytes() / 1e6:.0f} MB) in {time.time() - t0:.1f}s\n")
+    return 0
 
 
 def cmd_search(args) -> int:
@@ -449,6 +475,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.cmd == "index":
         return cmd_index(args)
+    if args.cmd == "resample":
+        return cmd_resample(args)
     return cmd_search(args)
 
 
