@@ -68,7 +68,10 @@ def build_parser():
     se.add_argument("--bam", action="store_true",
                     help="write BAM instead of SAM (also implied by a .bam "
                          "output path)")
-    se.add_argument("-e", "--max-errors", type=int, default=4)
+    se.add_argument("-e", "--max-errors", type=float, default=4,
+                    help="error budget: an integer = max edit distance; a "
+                         "fraction in (0,1) = error rate, resolved as "
+                         "floor(rate * first-read length) (min 1)")
     se.add_argument("--no-indels", action="store_true",
                     help="Hamming-only mode (mismatches, no gaps)")
     se.add_argument("--min", dest="min_insert", type=int, default=0)
@@ -148,8 +151,12 @@ def cmd_index(args) -> int:
 def make_config(args):
     from bitmapperbs_tpu.config import AlignerConfig
 
+    e = args.max_errors
+    if not 0 < e < 1 and e != int(e):
+        raise SystemExit(f"error: -e must be an integer or a rate in (0,1), "
+                         f"got {e}")
     cfg = AlignerConfig(
-        max_errors=args.max_errors,
+        max_errors=int(e),
         indels=not args.no_indels,
         non_directional=args.non_directional,
         paired=bool(args.pe),
@@ -214,6 +221,20 @@ def cmd_search(args) -> int:
                          f"{default_prefix(args.ref)}.npz "
                          f"(run: bitmapperbs_tpu index {args.ref})\n")
         return 2
+    if 0 < args.max_errors < 1:
+        # -e as an error RATE (SURVEY.md 2.1 "max errors or error rate"):
+        # resolve against the first read's length (uniform-length FASTQs
+        # are the norm; the resolved budget is printed so it's auditable)
+        first = next(iter(FastqReader(args.seq1 if args.pe else args.seq,
+                                      batch_size=1)), None)
+        if first is None or not len(first.codes):
+            sys.stderr.write("error: empty FASTQ\n")
+            return 2
+        rate = args.max_errors
+        args.max_errors = max(1, int(rate * len(first.codes[0])))
+        sys.stderr.write(f"[bitmapperbs_tpu] -e {rate} -> max_errors="
+                         f"{args.max_errors} (read length "
+                         f"{len(first.codes[0])})\n")
     cfg = make_config(args)
     idx = load_index(prefix)
 
