@@ -90,8 +90,10 @@ def build_parser():
                          "occupancy-bounded chunks (skip work past the last "
                          "occupied slot; bit-identical; default: size-"
                          "adaptive)")
-    se.add_argument("--read-bucket", type=int, default=160,
-                    help="padded read length (multiple of 32)")
+    se.add_argument("--read-bucket", type=int, default=None,
+                    help="padded read length (multiple of 32; default: "
+                         "sized from the first reads -- shorter buckets map "
+                         "proportionally faster)")
     se.add_argument("--phred64", action="store_true")
     se.add_argument("--unmapped-out", default=None,
                     help="write unmapped reads to this FASTQ")
@@ -221,6 +223,20 @@ def cmd_search(args) -> int:
                          f"{default_prefix(args.ref)}.npz "
                          f"(run: bitmapperbs_tpu index {args.ref})\n")
         return 2
+    if args.read_bucket is None:
+        # size the padded-length bucket from the head of the input: mapping
+        # cost is ~linear in the bucket, so a 100 bp library should not pay
+        # for a 160-wide batch.  A longer read later in the file fails with
+        # a clear message to pass --read-bucket explicitly.
+        lens = []
+        for p in ((args.seq1, args.seq2) if args.pe else (args.seq,)):
+            head = next(iter(FastqReader(p, batch_size=1024)), None)
+            if head is not None:
+                lens.extend(len(c) for c in head.codes)
+        mx = max(lens) if lens else 160
+        args.read_bucket = max(32, -(-mx // 32) * 32)
+        sys.stderr.write(f"[bitmapperbs_tpu] read bucket auto-sized to "
+                         f"{args.read_bucket} (longest head read {mx} bp)\n")
     if 0 < args.max_errors < 1:
         # -e as an error RATE (SURVEY.md 2.1 "max errors or error rate"):
         # resolve against the first read's length (uniform-length FASTQs
