@@ -116,3 +116,22 @@ def test_pe_data_parallel_matches_single_device(setup):
                 np.testing.assert_array_equal(np.asarray(a[k]),
                                               np.asarray(b[k]), err_msg=k)
     cmp(single, sharded)
+
+
+def test_flat_chunks_data_parallel(setup):
+    """flat_chunks under the shard_map DP mapper (the CLI multichip path)
+    must stay bit-identical: each shard runs its own occupancy-bounded
+    while_loop, no cross-shard coupling."""
+    idx, cfg, reads, lengths = setup
+    dix = upload_index(idx)
+    ref = _as_np(map_batch_device(dix, cfg, reads, lengths))
+
+    cfgc = cfg.replace(flat_chunks=8)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    dix_r = jax.device_put(dix, NamedSharding(mesh, P()))
+    reads_s = jax.device_put(reads, NamedSharding(mesh, P("data", None)))
+    len_s = jax.device_put(lengths, NamedSharding(mesh, P("data")))
+    fn = make_sharded_se_mapper(cfgc, mesh, dix_r)
+    got = _as_np(fn(dix_r, reads_s, len_s))
+    for k in ref:
+        np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
