@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -146,7 +147,7 @@ def cmd_index(args) -> int:
     sys.stderr.write(
         f"[bitmapperbs_tpu] indexed {sum(idx.genome.lengths)} bp "
         f"({len(idx.genome.names)} contigs) in {time.time() - t0:.1f}s "
-        f"-> {prefix}.npz ({idx.nbytes() / 1e6:.0f} MB)\n")
+        f"-> {prefix}.bin ({idx.nbytes() / 1e6:.0f} MB)\n")
     return 0
 
 
@@ -185,7 +186,9 @@ def cmd_resample(args) -> int:
     from bitmapperbs_tpu.index.resample import halve_sa_rate
 
     t0 = time.time()
-    idx = load_index(args.prefix)
+    # mmap=False: densification rewrites cp_rows in place; a v4 mmap view
+    # is read-only
+    idx = load_index(args.prefix, mmap=False)
     old = idx.blocks[0].sa_rate
     halve_sa_rate(idx, args.sa_rate)
     save_index(idx, args.out or args.prefix)
@@ -213,14 +216,15 @@ def cmd_search(args) -> int:
         return 2
 
     # ref may be the FASTA path (resolves <ref>.btidx) or an index prefix
-    # built with `index --prefix` (possibly with the .npz suffix spelled out)
+    # built with `index --prefix` (possibly with a suffix spelled out);
+    # the .json manifest identifies both the v4 .bin and legacy .npz forms
     for prefix in (default_prefix(args.ref), args.ref,
-                   args.ref[:-4] if args.ref.endswith(".npz") else None):
-        if prefix is not None and os.path.exists(prefix + ".npz"):
+                   re.sub(r"\.(bin|npz)$", "", args.ref)):
+        if prefix is not None and os.path.exists(prefix + ".json"):
             break
     else:
         sys.stderr.write(f"error: index not found at "
-                         f"{default_prefix(args.ref)}.npz "
+                         f"{default_prefix(args.ref)}.json "
                          f"(run: bitmapperbs_tpu index {args.ref})\n")
         return 2
     if args.read_bucket is None:

@@ -314,7 +314,7 @@ class BSIndex:
         return sum(b.nbytes() for b in self.blocks) + self.genome.codes.nbytes
 
 
-INDEX_VERSION = 3
+INDEX_VERSION = 4   # v4: raw .bin segments (mmap-loadable); v3 .npz legacy
 
 
 def build_index(fasta, sa_rate: int | None = None,
@@ -359,8 +359,7 @@ def build_index(fasta, sa_rate: int | None = None,
     return BSIndex(genome=genome, blocks=blocks, meta=meta)
 
 
-def save_index(idx: BSIndex, prefix: str) -> None:
-    """Serialize as <prefix>.npz + <prefix>.json manifest (SURVEY.md C6)."""
+def _index_arrays(idx: BSIndex) -> dict[str, np.ndarray]:
     arrays = {
         "genome_codes": idx.genome.codes,
         "genome_offsets": idx.genome.offsets,
@@ -371,20 +370,61 @@ def save_index(idx: BSIndex, prefix: str) -> None:
         arrays[f"b{bi}_cp_rows"] = b.cp_rows
         arrays[f"b{bi}_sa_samples"] = b.sa_samples
         arrays[f"b{bi}_klt"] = b.klt
-    np.savez(prefix + ".npz", **arrays)
+    return arrays
+
+
+def save_index(idx: BSIndex, prefix: str) -> None:
+    """Serialize as <prefix>.bin (raw aligned arrays) + <prefix>.json.
+
+    One flat binary with 64-byte-aligned array segments, described by the
+    manifest: loads are a single mmap (np.load on multi-GB .npz measured
+    ~16 MB/s on this format's predecessor vs ~1.4 GB/s raw -- a 9.5 GB
+    human-scale artifact went from ~10 min to instant).  SURVEY.md C6.
+    """
+    arrays = _index_arrays(idx)
+    segs = {}
+    off = 0
+    with open(prefix + ".bin", "wb") as f:
+        for name, a in arrays.items():
+            a = np.ascontiguousarray(a)
+            pad = -off % 64
+            f.write(b"\0" * pad)
+            off += pad
+            segs[name] = {"dtype": a.dtype.str, "shape": list(a.shape),
+                          "offset": off}
+            f.write(a.tobytes())
+            off += a.nbytes
     manifest = dict(idx.meta)
     manifest["names"] = idx.genome.names
     manifest["block_n"] = [b.n for b in idx.blocks]
+    manifest["segments"] = segs
     with open(prefix + ".json", "w") as f:
         json.dump(manifest, f, indent=1)
 
 
-def load_index(prefix: str) -> BSIndex:
+LEGACY_NPZ_VERSION = 3   # round-1/2 .npz artifacts stay loadable
+
+
+def load_index(prefix: str, mmap: bool = True) -> BSIndex:
+    """Load an index artifact; v4 .bin segments are mmap-backed views
+    (read-only) unless mmap=False copies them into RAM."""
     with open(prefix + ".json") as f:
         manifest = json.load(f)
-    if manifest["version"] != INDEX_VERSION:
-        raise ValueError(f"index version {manifest['version']} != {INDEX_VERSION}")
-    z = np.load(prefix + ".npz")
+    ver = manifest["version"]
+    if ver == INDEX_VERSION:
+        raw = np.memmap(prefix + ".bin", dtype=np.uint8, mode="r")
+        z = {}
+        for name, seg in manifest["segments"].items():
+            dt = np.dtype(seg["dtype"])
+            n = int(np.prod(seg["shape"], dtype=np.int64)) * dt.itemsize
+            o = seg["offset"]
+            z[name] = raw[o:o + n].view(dt).reshape(seg["shape"])
+            if not mmap:
+                z[name] = np.array(z[name])
+    elif ver == LEGACY_NPZ_VERSION:
+        z = np.load(prefix + ".npz")
+    else:
+        raise ValueError(f"index version {ver} != {INDEX_VERSION}")
     genome = Genome(
         names=manifest["names"],
         offsets=z["genome_offsets"],
@@ -405,4 +445,5 @@ def load_index(prefix: str) -> BSIndex:
     meta = {k: manifest[k] for k in
             ("version", "genome_sha256", "cp_block", "sa_sample_rate",
              "klt_k", "contig_pad")}
+    meta["version"] = INDEX_VERSION
     return BSIndex(genome=genome, blocks=blocks, meta=meta)

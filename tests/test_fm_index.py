@@ -99,3 +99,56 @@ def test_seed_find_known_position(rng):
         assert ep > sp
         hits = packed.locate(blk, np.arange(sp, ep))
         assert pos in hits.astype(np.int64)
+
+
+# -------------------------------------------------------- artifact round-trip
+def test_save_load_v4_roundtrip(rng, tmp_path):
+    """v4 .bin+manifest round-trips bit-exactly, mmap'd or copied."""
+    from bitmapperbs_tpu.index.build import (INDEX_VERSION, build_index,
+                                             load_index, save_index)
+    from bitmapperbs_tpu.utils.simulate import random_genome_fasta
+
+    fasta = random_genome_fasta(rng, contigs=(3000, 1200))
+    idx = build_index(fasta, sa_rate=4, klt_k=5)
+    prefix = str(tmp_path / "g.btidx")
+    save_index(idx, prefix)
+    assert (tmp_path / "g.btidx.bin").exists()
+    assert not (tmp_path / "g.btidx.npz").exists()
+    for mmap in (True, False):
+        back = load_index(prefix, mmap=mmap)
+        assert back.meta["version"] == INDEX_VERSION
+        assert back.genome.names == idx.genome.names
+        np.testing.assert_array_equal(back.genome.codes, idx.genome.codes)
+        for a, b in zip(idx.blocks, back.blocks):
+            assert a.n == b.n and a.sa_rate == b.sa_rate and a.klt_k == b.klt_k
+            np.testing.assert_array_equal(a.cbase, b.cbase)
+            np.testing.assert_array_equal(a.cp_rows, b.cp_rows)
+            np.testing.assert_array_equal(a.sa_samples, b.sa_samples)
+            np.testing.assert_array_equal(a.klt, b.klt)
+    # segment alignment: every array starts on a 64-byte boundary
+    import json as _json
+    man = _json.loads((tmp_path / "g.btidx.json").read_text())
+    assert all(seg["offset"] % 64 == 0 for seg in man["segments"].values())
+
+
+def test_load_legacy_v3_npz(rng, tmp_path):
+    """Round-1/2 .npz artifacts (version 3) must stay loadable."""
+    from bitmapperbs_tpu.index.build import (LEGACY_NPZ_VERSION, _index_arrays,
+                                             build_index, load_index)
+    from bitmapperbs_tpu.utils.simulate import random_genome_fasta
+    import json as _json
+
+    fasta = random_genome_fasta(rng, contigs=(2500,))
+    idx = build_index(fasta, sa_rate=4, klt_k=5)
+    prefix = str(tmp_path / "old.btidx")
+    np.savez(prefix + ".npz", **_index_arrays(idx))
+    manifest = dict(idx.meta)
+    manifest["version"] = LEGACY_NPZ_VERSION
+    manifest["names"] = idx.genome.names
+    manifest["block_n"] = [b.n for b in idx.blocks]
+    (tmp_path / "old.btidx.json").write_text(_json.dumps(manifest))
+    back = load_index(prefix)
+    np.testing.assert_array_equal(back.genome.codes, idx.genome.codes)
+    for a, b in zip(idx.blocks, back.blocks):
+        np.testing.assert_array_equal(a.cp_rows, b.cp_rows)
+        np.testing.assert_array_equal(a.sa_samples, b.sa_samples)
