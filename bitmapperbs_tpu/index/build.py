@@ -392,7 +392,7 @@ def save_index(idx: BSIndex, prefix: str) -> None:
             off += pad
             segs[name] = {"dtype": a.dtype.str, "shape": list(a.shape),
                           "offset": off}
-            f.write(a.tobytes())
+            a.tofile(f)   # streams; tobytes() would copy multi-GB arrays
             off += a.nbytes
     manifest = dict(idx.meta)
     manifest["names"] = idx.genome.names
