@@ -83,40 +83,86 @@ def finalize_batch(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
     # The spec's per-read python DP is O(m*w) interpreted ops; here all slow
     # reads' DP matrices are computed in one batched pass (the horizontal
     # chain D[i,j] = min(b_j, D[i,j-1]+1) unrolls to a prefix-min of b_k - k,
-    # so each row is a vectorized minimum.accumulate), then only the O(m+w)
-    # path walk runs per read (align.traceback with D precomputed).
+    # so each row is a vectorized minimum.accumulate), and the backtrace walk
+    # runs in lockstep across all slow reads (each step is a handful of
+    # fancy-index gathers).  finalize_hit gets the precomputed
+    # (ref_start, cigar) via traceback_pre and does no per-read DP at all.
     slow = np.flatnonzero(~fast)
     if len(slow) > 0:
+        ns = len(slow)
         w_max = m_max + 2 * e
-        swin = np.empty((len(slow), w_max), dtype=np.uint8)
+        swin = np.empty((ns, w_max), dtype=np.uint8)
         for b, ref in ((K.BLOCK_FWD, gcodes), (K.BLOCK_RC, rc_ref)):
             sel = blk[slow] == b
             if sel.any():
                 swin[sel] = _gather_windows(
                     ref, a_arr[slow][sel] - e, w_max, L)
         sfr = fr[slow]
-        D = np.zeros((len(slow), m_max + 1, w_max + 1), dtype=np.int32)
+        # asym match table [ns, m_max, w_max] (read index i-1, window j-1)
+        mtab = (((swin[:, None, :] == sfr[:, :, None])
+                 | ((swin[:, None, :] == K.C) & (sfr[:, :, None] == K.T)))
+                & (swin[:, None, :] != K.N_CODE)
+                & (sfr[:, :, None] != K.N_CODE))
+        D = np.zeros((ns, m_max + 1, w_max + 1), dtype=np.int32)
         js = np.arange(1, w_max + 1, dtype=np.int32)
-        win_n = swin == K.N_CODE
         for i in range(1, m_max + 1):
-            rch = sfr[:, i - 1:i]
-            sub = 1 - (((swin == rch) | ((swin == K.C) & (rch == K.T)))
-                       & ~win_n & (rch != K.N_CODE)).astype(np.int32)
+            sub = 1 - mtab[:, i - 1, :].astype(np.int32)
             b_row = np.minimum(D[:, i - 1, :-1] + sub, D[:, i - 1, 1:] + 1)
             run = np.minimum.accumulate(b_row - js, axis=1)
             D[:, i, 1:] = np.minimum(run + js, i + js)
             D[:, i, 0] = i
+        m_slow = m_arr[slow]
+        w_slow = m_slow + 2 * e
+        # end column: smallest j over the VALID window achieving the row min
+        # (columns past a short read's true window hold real genome bases and
+        # could score lower -- mask them out, exactly like the per-read slice)
+        jr = np.arange(w_max + 1, dtype=np.int64)
+        last = D[np.arange(ns)[:, None], m_slow[:, None], jr[None, :]]
+        last = np.where(jr[None, :] <= w_slow[:, None], last, np.int32(2**30))
+        jcur = np.argmin(last, axis=1).astype(np.int64)
+        icur = m_slow.copy()
+        # lockstep backtrace; ops stored walk-order (alignment end -> start)
+        # 0 = done, 1 = M, 2 = D (ref gap), 3 = I (read gap)
+        max_steps = int((m_slow + w_slow).max()) if ns else 0
+        opbuf = np.zeros((ns, max_steps), dtype=np.uint8)
+        rr = np.arange(ns)
+        step = 0
+        active = icur > 0
+        while active.any():
+            ip = np.maximum(icur - 1, 0)
+            jp = np.maximum(jcur - 1, 0)
+            d_here = D[rr, icur, jcur]
+            diag = D[rr, ip, jp] + 1 - mtab[rr, ip, jp].astype(np.int32)
+            take_m = active & (jcur > 0) & (d_here == diag)
+            take_d = (active & ~take_m & (jcur > 0)
+                      & (d_here == D[rr, icur, jp] + 1))
+            take_i = active & ~take_m & ~take_d
+            opbuf[:, step] = take_m + 2 * take_d + 3 * take_i
+            icur -= take_m | take_i
+            jcur -= take_m | take_d
+            active = icur > 0
+            step += 1
+        nsteps = (opbuf != 0).sum(axis=1)
         for t, k in enumerate(slow):
             i = rows[k]
-            read = np.asarray(reads[i], np.uint8)
-            li = int(m_arr[k])
-            wlen = li + 2 * e
+            o = opbuf[t, :nsteps[t]][::-1]          # chronological order
+            keep = np.flatnonzero(o != 2)           # trim leading/trailing D
+            start_trim = int(keep[0]) if len(keep) else len(o)
+            o = o[start_trim:int(keep[-1]) + 1] if len(keep) else o[:0]
+            ref_start = int(jcur[t]) + start_trim
+            if len(o):
+                cut = np.flatnonzero(o[1:] != o[:-1]) + 1
+                bounds = np.concatenate(([0], cut, [len(o)]))
+                cigar = [("\0MDI"[o[bb]], int(be - bb))
+                         for bb, be in zip(bounds[:-1], bounds[1:])]
+            else:
+                cigar = []
             out[i] = finalize_hit(
-                idx, rc_ref, cfg, read, quals[i], qnames[i],
-                hits[i][0], hits[i][1],
+                idx, rc_ref, cfg, np.asarray(reads[i], np.uint8),
+                quals[i], qnames[i], hits[i][0], hits[i][1],
                 flag_extra=flag_extras[i] if flag_extras else 0,
                 mapq_override=mapq_overrides[i] if mapq_overrides else None,
-                traceback_D=D[t, :li + 1, :wlen + 1])
+                traceback_pre=(ref_start, cigar))
 
     f = np.flatnonzero(fast)
     if len(f) == 0:

@@ -173,11 +173,14 @@ def finalize_hit(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
                  best: Hit, second: Hit | None,
                  flag_extra: int = 0,
                  mapq_override: int | None = None,
-                 traceback_D=None) -> SamRecord | None:
+                 traceback_pre=None) -> SamRecord | None:
     """Traceback + SAM field construction (C13/C14/C18 host side).
 
     Shared verbatim by the oracle and the device pipeline's host stage.
     Returns None when the alignment is rejected (e.g. leaves its contig).
+    traceback_pre: optional (ref_start, cigar_ops) already computed by the
+    batched traceback (models/finalize.py) -- skips the per-read hamming
+    recheck + DP walk.
     """
     m = len(read)
     e = cfg.max_errors
@@ -186,11 +189,13 @@ def finalize_hit(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
     frame_ref = idx.genome.codes if b == K.BLOCK_FWD else rc_ref
     frame_read = read if p == K.PAT_CT else dna.revcomp(read)
 
-    if cfg.indels and align.hamming(
+    if traceback_pre is not None:
+        ref_start, cigar = traceback_pre
+        frame_pos = a - e + ref_start
+    elif cfg.indels and align.hamming(
             frame_slice(frame_ref, a, m), frame_read) != best.score:
         window = frame_slice(frame_ref, a - e, m + 2 * e)
-        dist, ref_start, cigar = align.traceback(window, frame_read,
-                                                 D=traceback_D)
+        dist, ref_start, cigar = align.traceback(window, frame_read)
         frame_pos = a - e + ref_start
     else:
         # frozen rule: when an ungapped alignment at the anchor achieves the

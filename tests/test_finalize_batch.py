@@ -53,6 +53,40 @@ def test_batch_matches_per_read(setup, rng, nd, indels):
     assert n_mapped > 50
 
 
+def test_batch_indel_heavy_lockstep_traceback(setup, rng):
+    """Stress the lockstep batched backtrace (models/finalize.py slow path):
+    multi-indel reads, gaps near read ends, tie-prone windows.  Every record
+    must byte-match the per-read spec walk (oracle/align.traceback)."""
+    idx, rc_ref = setup
+    cfg = AlignerConfig(max_errors=4, indels=True, read_len_bucket=96)
+    sims = simulate_reads(idx.genome, 150, read_len=85, seed=97,
+                          sub_rate=0.02, indel_rate=0.05)
+    for s, cut in zip(sims, rng.integers(55, 86, len(sims))):
+        s.codes = s.codes[:cut]
+        s.qual = s.qual[:cut]
+    reads = [s.codes for s in sims]
+    quals = [s.qual for s in sims]
+    qnames = [f"g{i}" for i in range(len(sims))]
+    hits = [map_read_se(idx, rc_ref, cfg, np.asarray(r))[:2] for r in reads]
+
+    got = finalize_batch(idx, rc_ref, cfg, reads, quals, qnames, hits)
+    n_gapped = 0
+    for i, (best, second) in enumerate(hits):
+        want = None
+        if best is not None:
+            want = finalize_hit(idx, rc_ref, cfg, np.asarray(reads[i]),
+                                quals[i], qnames[i], best, second)
+        if want is None:
+            assert got[i] is None, (i, got[i])
+        else:
+            assert got[i] is not None, i
+            assert got[i].line() == want.line(), (
+                i, "\n" + got[i].line() + "\n" + want.line())
+            if got[i].cigar != f"{len(reads[i])}M":
+                n_gapped += 1
+    assert n_gapped > 20   # the slow path must actually be exercised
+
+
 def test_batch_near_contig_edges(setup):
     """Reads at pad boundaries exercise context N-fill and rejection."""
     idx, rc_ref = setup
