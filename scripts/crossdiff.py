@@ -20,6 +20,9 @@ The NumPy oracle runs ~20 reads/s, so golden SAM differentials cap out at
 
 Usage: python scripts/crossdiff.py [--n 100000] [--genome-bp 100000000]
        [--oracle-sample 200] [--pe] [--seed 0]
+`--pe` runs the same three layers over the paired-end pipeline (pair join,
+second-best, mate rescue tuples; oracle sample through map_batch_pe) --
+the PE path has the most host-assembly surface, so it gets its own sweep.
 Exit code 0 = all layers clean.
 """
 from __future__ import annotations
@@ -43,6 +46,17 @@ def _as_np(out):
             for k, v in out.items()}
 
 
+def _flatten(out, pre=""):
+    """Nested device-output dict -> flat {dotted.key: np.ndarray}."""
+    flat = {}
+    for k, v in out.items():
+        if isinstance(v, dict):
+            flat.update(_flatten(v, pre + k + "."))
+        else:
+            flat[pre + k] = np.asarray(v)
+    return flat
+
+
 def _diff(a, b, keys, label, where=""):
     bad = []
     for k in keys:
@@ -64,7 +78,12 @@ def main():
     ap.add_argument("--read-len", type=int, default=90)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--pe", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon site hook "
+                         "overrides JAX_PLATFORMS, so an env var can't)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from bitmapperbs_tpu.config import AlignerConfig
     from bitmapperbs_tpu.index.build import build_index, load_index, save_index
@@ -90,6 +109,9 @@ def main():
                         batch_size=B)
     keys = ("best_score", "best_bp", "best_anchor", "second_score",
             "overflow", "gdrop")
+
+    if args.pe:
+        return pe_crossdiff(args, idx, dix, cfg)
 
     codes, ci, coord, si = simulate_reads_bulk(
         idx.genome, args.n, read_len=args.read_len, seed=args.seed,
@@ -161,6 +183,96 @@ def main():
         if a != b:
             print(f"ORACLE-MISMATCH:\n  oracle: {a}\n  device: {b}")
     print(f"layer3 oracle SAM sample ({len(sub)} reads): {n_bad3} "
+          f"mismatches, {time.time()-t0:.0f}s", flush=True)
+
+    total_bad = n_bad + n_bad2 + n_bad3
+    print("CLEAN" if total_bad == 0 else f"FAILED: {total_bad} mismatches")
+    return 1 if total_bad else 0
+
+
+def pe_crossdiff(args, idx, dix, cfg):
+    """The same three layers over the paired-end pipeline."""
+    from bitmapperbs_tpu.models.host import map_batch_pe_tpu, prepare_batch
+    from bitmapperbs_tpu.models.paired import map_batch_pe_device
+    from bitmapperbs_tpu.oracle.paired import map_batch_pe
+    from bitmapperbs_tpu.utils.simulate import simulate_pairs
+
+    B = args.batch
+    cfg = cfg.replace(paired=True, min_insert=0, max_insert=500)
+    rl = args.read_len
+
+    t0 = time.time()
+    prs = simulate_pairs(idx.genome, args.n, read_len=rl, seed=args.seed,
+                         sub_rate=0.01, min_insert=150, max_insert=480)
+    prs = (prs * args.n)[:args.n]   # tight contigs may skip a few
+    pairs = [(p[0].codes, p[1].codes) for p in prs]
+    print(f"simulated {len(pairs)} pairs in {time.time()-t0:.0f}s",
+          flush=True)
+
+    def run_batch(lo, run_cfg):
+        m = min(B, args.n - lo)
+        a1, l1 = prepare_batch([p[0] for p in pairs[lo:lo + m]], 96, B)
+        a2, l2 = prepare_batch([p[1] for p in pairs[lo:lo + m]], 96, B)
+        out = map_batch_pe_device(dix, run_cfg,
+                                  jnp.asarray(a1), jnp.asarray(l1),
+                                  jnp.asarray(a2), jnp.asarray(l2))
+        return _flatten(out), m
+
+    # ---- layer 1: compact vs dense, all pair/rescue/SE tuples -------------
+    t0 = time.time()
+    n_bad = n_gdrop = 0
+    kept = []                       # (flat_out, m) per batch for layer 2
+    for lo in range(0, args.n, B):
+        comp, m = run_batch(lo, cfg)
+        dense, _ = run_batch(lo, cfg.replace(compact=False))
+        gdrop = comp["gdrop"]
+        n_gdrop += int(gdrop[:m].sum())
+        for k, a in comp.items():
+            ok = ~gdrop.reshape((len(gdrop),) + (1,) * (a.ndim - 1))
+            neq = np.flatnonzero((np.where(ok, a, dense[k]) != dense[k])
+                                 .reshape(len(gdrop), -1).any(axis=1))
+            if len(neq):
+                print(f"PE MISMATCH batch@{lo} {k} lanes {neq[:5]}")
+                n_bad += 1
+        kept.append((comp, m))
+    print(f"layer1 PE compact-vs-dense: {args.n} pairs, {n_bad} mismatches, "
+          f"{n_gdrop} gdrop fallbacks, {time.time()-t0:.0f}s", flush=True)
+
+    # ---- layer 2: batch-split invariance ----------------------------------
+    t0 = time.time()
+    n_bad2 = 0
+    sel_keys = [k for k in kept[0][0]
+                if k.startswith(("pair_", "resc_", "se1.best", "se1.second",
+                                 "se2.best", "se2.second"))]
+    full = {k: np.concatenate([h[0][k][:h[1]] for h in kept])
+            for k in sel_keys + ["gdrop"]}
+    for lo in range(B // 2, args.n, B):
+        comp, m = run_batch(lo, cfg)
+        ok = ~(comp["gdrop"][:m] | full["gdrop"][lo:lo + m])
+        for k in sel_keys:
+            neq = np.flatnonzero(ok & (comp[k][:m] != full[k][lo:lo + m]))
+            if len(neq):
+                print(f"PE SPLIT-MISMATCH @{lo} {k} lanes {neq[:5]}")
+                n_bad2 += 1
+    print(f"layer2 PE batch-split invariance: {n_bad2} mismatches, "
+          f"{time.time()-t0:.0f}s", flush=True)
+
+    # ---- layer 3: oracle SAM sampling --------------------------------------
+    t0 = time.time()
+    sub = np.random.default_rng(args.seed + 1).choice(
+        args.n, size=min(args.oracle_sample, args.n), replace=False)
+    sub_pairs = [pairs[i] for i in sub]
+    qn = [f"p{i}" for i in sub]
+    ocfg = cfg.replace(batch_size=min(B, len(sub)))
+    oracle_sam = [r.line() for r in map_batch_pe(idx, ocfg, sub_pairs,
+                                                 qnames=qn)]
+    device_sam = [r.line() for r in map_batch_pe_tpu(idx, dix, ocfg,
+                                                     sub_pairs, qnames=qn)]
+    n_bad3 = sum(1 for a, b in zip(oracle_sam, device_sam) if a != b)
+    for a, b in zip(oracle_sam, device_sam):
+        if a != b:
+            print(f"PE ORACLE-MISMATCH:\n  oracle: {a}\n  device: {b}")
+    print(f"layer3 PE oracle SAM sample ({len(sub)} pairs): {n_bad3} "
           f"mismatches, {time.time()-t0:.0f}s", flush=True)
 
     total_bad = n_bad + n_bad2 + n_bad3
