@@ -143,26 +143,167 @@ def finalize_batch(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
             active = icur > 0
             step += 1
         nsteps = (opbuf != 0).sum(axis=1)
-        for t, k in enumerate(slow):
-            i = rows[k]
+        # Light per-read pass: trim leading/trailing D runs (frame space),
+        # record the frame position, and lay the trimmed ops out
+        # chronologically in FWD orientation (a reversed hit's fwd cigar is
+        # the frame cigar reversed).  Everything downstream -- match table,
+        # NM, Bismark XM, MD events -- is then computed in one vectorized
+        # pass over the (ns, A_max) aligned-column grid, mirroring
+        # oracle/align.cigar_md_nm column for column; only MD/CIGAR string
+        # formatting stays per-read (a handful of events each).
+        blkS = blk[slow]
+        patS = pat[slow]
+        revS = np.array([K.IS_REVERSE[(int(b), int(p))]
+                         for b, p in zip(blkS, patS)], dtype=bool)
+        degen = np.zeros(ns, dtype=bool)
+        degen_ref_start = np.zeros(ns, dtype=np.int64)
+        trimmed: list[np.ndarray] = []
+        frame_pos = np.zeros(ns, dtype=np.int64)
+        A_max = 1
+        for t in range(ns):
             o = opbuf[t, :nsteps[t]][::-1]          # chronological order
             keep = np.flatnonzero(o != 2)           # trim leading/trailing D
-            start_trim = int(keep[0]) if len(keep) else len(o)
-            o = o[start_trim:int(keep[-1]) + 1] if len(keep) else o[:0]
-            ref_start = int(jcur[t]) + start_trim
-            if len(o):
-                cut = np.flatnonzero(o[1:] != o[:-1]) + 1
-                bounds = np.concatenate(([0], cut, [len(o)]))
-                cigar = [("\0MDI"[o[bb]], int(be - bb))
-                         for bb, be in zip(bounds[:-1], bounds[1:])]
-            else:
-                cigar = []
-            out[i] = finalize_hit(
-                idx, rc_ref, cfg, np.asarray(reads[i], np.uint8),
-                quals[i], qnames[i], hits[i][0], hits[i][1],
-                flag_extra=flag_extras[i] if flag_extras else 0,
-                mapq_override=mapq_overrides[i] if mapq_overrides else None,
-                traceback_pre=(ref_start, cigar))
+            if len(keep) == 0:                      # empty alignment: spec
+                degen[t] = True
+                degen_ref_start[t] = int(jcur[t]) + len(o)
+                trimmed.append(o[:0])
+                continue
+            o = o[int(keep[0]):int(keep[-1]) + 1]
+            trimmed.append(o[::-1] if revS[t] else o)
+            frame_pos[t] = (a_arr[slow[t]] - e + int(jcur[t])
+                            + int(keep[0]))
+            A_max = max(A_max, len(o))
+        ops_f = np.zeros((ns, A_max), dtype=np.uint8)
+        for t, o in enumerate(trimmed):
+            ops_f[t, :len(o)] = o
+        isM = ops_f == 1
+        isD = ops_f == 2
+        isI = ops_f == 3
+        rc_col = isM | isI                          # read-consuming columns
+        fc_col = isM | isD                          # ref-consuming columns
+        readpos = np.cumsum(rc_col, axis=1) - rc_col
+        refoff = np.cumsum(fc_col, axis=1) - fc_col
+        ref_spanS = fc_col.sum(axis=1).astype(np.int64)
+        fwd_posS = np.where(blkS == K.BLOCK_FWD, frame_pos,
+                            L - frame_pos - ref_spanS)
+        ciS = np.searchsorted(idx.genome.offsets, fwd_posS,
+                              side="right") - 1
+        coordS = fwd_posS - idx.genome.offsets[ciS]
+        in_contigS = (coordS >= 0) & (coordS + ref_spanS
+                                      <= idx.genome.lengths[ciS])
+        gaS = blkS == K.BLOCK_RC
+
+        fwd_readS = np.full((ns, m_max), K.N_CODE, dtype=np.uint8)
+        for t, k in enumerate(slow):
+            r = np.asarray(reads[rows[k]], dtype=np.uint8)
+            fwd_readS[t, :len(r)] = dna.revcomp(r) if revS[t] else r
+
+        q = fwd_posS[:, None] + refoff              # abs fwd genome pos
+        qin = (q >= 0) & (q < L) & fc_col
+        rq = np.where(qin, gcodes[np.clip(q, 0, L - 1)], K.N_CODE)
+        rd = fwd_readS[np.arange(ns)[:, None],
+                       np.minimum(readpos, max(m_max - 1, 0))]
+        rd = np.where(rc_col, rd, K.N_CODE)
+        ref_cS = np.where(gaS, K.G, K.C).astype(np.uint8)[:, None]
+        bsm = np.where(gaS[:, None], (rq == K.G) & (rd == K.A),
+                       (rq == K.C) & (rd == K.T))
+        eqm = ((rq == rd) | bsm) & (rq != K.N_CODE) & (rd != K.N_CODE)
+        matchedM = isM & eqm
+        mmM = isM & ~eqm
+        nmS = (mmM | isD | isI).sum(axis=1)
+
+        # Bismark context letters at ref-C match columns (vectorized
+        # align.meth_context; GA strand looks upstream, complemented)
+        dq = np.where(gaS, -1, 1).astype(np.int64)[:, None]
+        q1, q2 = q + dq, q + 2 * dq
+        b1 = np.where((q1 >= 0) & (q1 < L),
+                      gcodes[np.clip(q1, 0, L - 1)], K.N_CODE)
+        b2 = np.where((q2 >= 0) & (q2 < L),
+                      gcodes[np.clip(q2, 0, L - 1)], K.N_CODE)
+        gsymS = np.where(gaS, K.C, K.G).astype(np.uint8)[:, None]
+        ctxS = np.where(
+            b1 == gsymS, ord("z"),
+            np.where(b1 == K.N_CODE, ord("u"),
+                     np.where(b2 == gsymS, ord("x"),
+                              np.where(b2 == K.N_CODE, ord("u"),
+                                       ord("h"))))).astype(np.uint8)
+        is_cS = matchedM & (rq == ref_cS)
+        methS = rd == ref_cS                        # unconverted cytosine
+        xm_mat = np.full((ns, max(m_max, 1)), ord("."), dtype=np.uint8)
+        rsel, csel = np.nonzero(is_cS)
+        xm_mat[rsel, readpos[rsel, csel]] = np.where(
+            methS[rsel, csel], ctxS[rsel, csel] - 32, ctxS[rsel, csel])
+        seqS = _BASE[fwd_readS]
+        rq_chr = _BASE[rq]
+        cummatch = np.cumsum(matchedM, axis=1) - matchedM
+        totmatch = matchedM.sum(axis=1)
+        evmask = mmM | isD
+
+        for t, k in enumerate(slow):
+            i = rows[k]
+            if degen[t]:
+                out[i] = finalize_hit(
+                    idx, rc_ref, cfg, np.asarray(reads[i], np.uint8),
+                    quals[i], qnames[i], hits[i][0], hits[i][1],
+                    flag_extra=flag_extras[i] if flag_extras else 0,
+                    mapq_override=(mapq_overrides[i] if mapq_overrides
+                                   else None),
+                    traceback_pre=(int(degen_ref_start[t]), []))
+                continue
+            if not in_contigS[t]:
+                continue                            # leaves contig: reject
+            best, second = hits[i]
+            ambiguous = second is not None and second.score == best.score
+            if ambiguous and not cfg.report_ambiguous:
+                continue
+            mapq = 0 if ambiguous else K.mapq_from_gap(
+                best.score, second.score if second else None)
+            if mapq_overrides and mapq_overrides[i] is not None:
+                mapq = mapq_overrides[i]
+            oo = trimmed[t]
+            cut = np.flatnonzero(oo[1:] != oo[:-1]) + 1
+            bounds = np.concatenate(([0], cut, [len(oo)]))
+            cigar = "".join("%d%s" % (be - bb, "\0MDI"[oo[bb]])
+                            for bb, be in zip(bounds[:-1], bounds[1:]))
+            evc = np.flatnonzero(evmask[t])
+            parts = []
+            prevm = 0
+            u = 0
+            while u < len(evc):
+                c = int(evc[u])
+                parts.append(str(int(cummatch[t, c]) - prevm))
+                prevm = int(cummatch[t, c])
+                if isD[t, c]:
+                    v = u                           # group the full D run
+                    while (v + 1 < len(evc) and evc[v + 1] == evc[v] + 1
+                           and isD[t, evc[v + 1]]):
+                        v += 1
+                    parts.append("^" + rq_chr[t, int(evc[u]):
+                                              int(evc[v]) + 1]
+                                 .tobytes().decode())
+                    u = v + 1
+                else:
+                    parts.append(chr(rq_chr[t, c]))
+                    u += 1
+            parts.append(str(int(totmatch[t]) - prevm))
+            m = int(m_arr[slow[t]])
+            qual = quals[i]
+            xr, xg = K.CONV_TAGS[(int(blkS[t]), int(patS[t]))]
+            out[i] = SamRecord(
+                qname=qnames[i],
+                flag=(K.FLAG_REVERSE if revS[t] else 0)
+                     | (flag_extras[i] if flag_extras else 0),
+                rname=idx.genome.names[int(ciS[t])],
+                pos=int(coordS[t]) + 1,
+                mapq=mapq,
+                cigar=cigar,
+                seq=seqS[t, :m].tobytes().decode(),
+                qual=(qual[::-1] if revS[t] else qual) if qual else "*",
+                nm=int(nmS[t]),
+                md="".join(parts),
+                xm=xm_mat[t, :m].tobytes().decode(),
+                xr=xr, xg=xg,
+            )
 
     f = np.flatnonzero(fast)
     if len(f) == 0:
