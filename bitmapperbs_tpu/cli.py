@@ -124,6 +124,11 @@ def build_parser():
                          "local device count; default 0 = replicated)")
     se.add_argument("--single-device", action="store_true",
                     help="map on one chip even when more are attached")
+    se.add_argument("--platform", choices=("auto", "cpu", "tpu"),
+                    default="auto",
+                    help="force the jax platform (cpu = host-only run, e.g. "
+                         "debugging or machines without an accelerator; "
+                         "default: jax's platform priority)")
     se.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace (XProf/Perfetto) to DIR")
     se.add_argument("--oracle", action="store_true",
@@ -199,6 +204,12 @@ def cmd_resample(args) -> int:
 
 
 def cmd_search(args) -> int:
+    if getattr(args, "platform", "auto") != "auto":
+        # must precede backend init; jax's module import may already have
+        # happened (site hooks), but the config is read at first device use
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     import numpy as np
 
     from bitmapperbs_tpu import constants as K

@@ -56,6 +56,19 @@ def test_search_bam_output(workdir):
                  "--bam", "--oracle"]) == 2
 
 
+def test_platform_flag(workdir):
+    # --platform cpu runs the device pipeline on the host backend (conftest
+    # already forces cpu; this asserts the flag parses and maps end-to-end)
+    d, _ = workdir
+    main(["index", str(d / "ref.fa")])
+    out = d / "plat.sam"
+    assert main(["search", str(d / "ref.fa"), "--seq", str(d / "reads.fq"),
+                 "-o", str(out), "--read-bucket", "96", "--batch-size", "30",
+                 "--platform", "cpu"]) == 0
+    body = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    assert len(body) == 30
+
+
 def test_legacy_flag_spelling(workdir):
     d, _ = workdir
     assert main(["--index", str(d / "ref.fa")]) == 0
