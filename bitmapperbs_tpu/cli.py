@@ -41,6 +41,11 @@ def build_parser():
     ix.add_argument("--klt-k", type=int, default=None,
                     help="k-mer lookup table depth (default: genome-size "
                          "adaptive, <= 14)")
+    ix.add_argument("-t", "--threads", type=int, default=1,
+                    help="build the two FM blocks (CT(W), CT(rc W)) in "
+                         "parallel worker processes (>=2 halves the "
+                         "suffix-array wall time; needs RAM for two "
+                         "concurrent builds)")
     ix.add_argument("--build-mode", choices=("auto", "sais", "lowmem"),
                     default="auto",
                     help="sais: in-RAM suffix array (~12 B/char); lowmem: "
@@ -147,7 +152,7 @@ def cmd_index(args) -> int:
     prefix = args.prefix or default_prefix(args.ref)
     t0 = time.time()
     idx = build_index(args.ref, sa_rate=args.sa_rate, klt_k=args.klt_k,
-                      build_mode=args.build_mode)
+                      build_mode=args.build_mode, jobs=args.threads)
     save_index(idx, prefix)
     sys.stderr.write(
         f"[bitmapperbs_tpu] indexed {sum(idx.genome.lengths)} bp "

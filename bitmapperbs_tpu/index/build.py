@@ -317,9 +317,89 @@ class BSIndex:
 INDEX_VERSION = 4   # v4: raw .bin segments (mmap-loadable); v3 .npz legacy
 
 
+def _build_block_worker(text_path, n_text, sa_rate, klt_k, mode, out_dir):
+    """Spawned worker: build one FM block from a memmapped converted text
+    and serialize it for the parent (numpy-only; no jax in children)."""
+    conv = np.memmap(text_path, dtype=np.uint8, mode="r", shape=(n_text,))
+    blk = build_block(conv, sa_rate=sa_rate, klt_k=klt_k, mode=mode)
+    np.save(os.path.join(out_dir, "cbase.npy"), blk.cbase)
+    np.save(os.path.join(out_dir, "cp_rows.npy"), blk.cp_rows)
+    np.save(os.path.join(out_dir, "sa_samples.npy"), blk.sa_samples)
+    if blk.klt is not None:
+        np.save(os.path.join(out_dir, "klt.npy"), blk.klt)
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({"n": blk.n, "sa_rate": blk.sa_rate,
+                   "klt_k": blk.klt_k}, f)
+
+
+def _build_blocks_parallel(ct_fwd, ct_rc, sa_rate, klt_k, mode):
+    """Build the CT(W) and CT(rc W) blocks in two spawned processes.
+
+    The blocks are fully independent (SURVEY.md 3.1), so a >=2-core host
+    halves the dominant suffix-array wall time (a 3.08 Gbp single-core
+    SA-IS build measures ~9 h; the two block builds are ~all of it).
+    Artifacts are byte-identical to the sequential path
+    (tests/test_fm_index.py::test_parallel_block_build).  RAM peak is two
+    concurrent builds (~12 B/char each for sais; ~1 B/char for lowmem).
+    Workers talk through temp files: spawn (fork is unsafe under jax's
+    threads) + pickling multi-GB arrays through pipes is slower than tofile.
+    """
+    import multiprocessing
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="btbs_build_")
+    try:
+        jobs = []
+        for name, text in (("fwd", ct_fwd), ("rc", ct_rc)):
+            tp = os.path.join(d, f"{name}.u8")
+            np.ascontiguousarray(text, dtype=np.uint8).tofile(tp)
+            od = os.path.join(d, name)
+            os.makedirs(od)
+            jobs.append((tp, len(text), sa_rate, klt_k, mode, od))
+        # numpy-only children: strip site hooks that would preload an
+        # accelerator runtime (single-tenant tunnels hang in children)
+        ctx = multiprocessing.get_context("spawn")
+        saved = os.environ.get("PYTHONPATH")
+        if saved is not None:
+            os.environ["PYTHONPATH"] = os.pathsep.join(
+                p for p in saved.split(os.pathsep)
+                if "site" not in os.path.basename(p) and "axon" not in p)
+        try:
+            procs = [ctx.Process(target=_build_block_worker, args=j)
+                     for j in jobs]
+            for p in procs:
+                p.start()
+            for p in procs:
+                p.join()
+        finally:
+            if saved is not None:
+                os.environ["PYTHONPATH"] = saved
+        if any(p.exitcode != 0 for p in procs):
+            raise RuntimeError("parallel block build worker failed "
+                               f"(exit codes {[p.exitcode for p in procs]})")
+        blocks = []
+        for _, _, _, _, _, od in jobs:
+            with open(os.path.join(od, "meta.json")) as f:
+                meta = json.load(f)
+            klt_path = os.path.join(od, "klt.npy")
+            blocks.append(PackedBlock(
+                n=meta["n"],
+                cbase=np.load(os.path.join(od, "cbase.npy")),
+                cp_rows=np.load(os.path.join(od, "cp_rows.npy")),
+                sa_samples=np.load(os.path.join(od, "sa_samples.npy")),
+                sa_rate=meta["sa_rate"],
+                klt_k=meta["klt_k"],
+                klt=np.load(klt_path) if os.path.exists(klt_path) else None,
+            ))
+        return blocks
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def build_index(fasta, sa_rate: int | None = None,
                 klt_k: int | None = None,
-                build_mode: str = "auto") -> BSIndex:
+                build_mode: str = "auto", jobs: int = 1) -> BSIndex:
     """FASTA -> BSIndex (SURVEY.md call stack 3.1).
 
     sa_rate default is genome-size-adaptive: small genomes afford dense SA
@@ -346,8 +426,13 @@ def build_index(fasta, sa_rate: int | None = None,
     ct_rc = dna.ct_convert(dna.revcomp(genome.codes))
     if klt_k is None:
         klt_k = default_klt_k(len(genome.codes) + 1)
-    blocks = [build_block(ct_fwd, sa_rate=sa_rate, klt_k=klt_k, mode=mode),
-              build_block(ct_rc, sa_rate=sa_rate, klt_k=klt_k, mode=mode)]
+    if jobs >= 2:
+        blocks = _build_blocks_parallel(ct_fwd, ct_rc, sa_rate, klt_k, mode)
+    else:
+        blocks = [build_block(ct_fwd, sa_rate=sa_rate, klt_k=klt_k,
+                              mode=mode),
+                  build_block(ct_rc, sa_rate=sa_rate, klt_k=klt_k,
+                              mode=mode)]
     meta = {
         "version": INDEX_VERSION,
         "genome_sha256": hashlib.sha256(genome.codes.tobytes()).hexdigest(),

@@ -152,3 +152,22 @@ def test_load_legacy_v3_npz(rng, tmp_path):
     for a, b in zip(idx.blocks, back.blocks):
         np.testing.assert_array_equal(a.cp_rows, b.cp_rows)
         np.testing.assert_array_equal(a.sa_samples, b.sa_samples)
+
+
+def test_parallel_block_build(rng):
+    """jobs=2 spawned block build is byte-identical to the sequential path."""
+    from bitmapperbs_tpu.index.build import build_index
+    from bitmapperbs_tpu.utils.simulate import random_genome_fasta
+
+    fasta = random_genome_fasta(rng, contigs=(4000, 1500))
+    seq = build_index(fasta, sa_rate=4, klt_k=6)
+    par = build_index(fasta, sa_rate=4, klt_k=6, jobs=2)
+    assert len(seq.blocks) == len(par.blocks)
+    for a, b in zip(seq.blocks, par.blocks):
+        assert a.n == b.n and a.sa_rate == b.sa_rate and a.klt_k == b.klt_k
+        assert (a.cbase == b.cbase).all()
+        assert (a.cp_rows == b.cp_rows).all()
+        assert (a.sa_samples == b.sa_samples).all()
+        assert (a.klt is None) == (b.klt is None)
+        if a.klt is not None:
+            assert (a.klt == b.klt).all()
