@@ -14,7 +14,30 @@ import time
 import numpy as np
 
 
+def _probe_device(timeout_s: int = 240) -> None:
+    """Fail fast (nonzero exit) when the accelerator tunnel is down.
+
+    jax backend init blocks indefinitely on a dead tunnel; probing in a
+    killable subprocess turns a silent multi-hour hang into an immediate,
+    honest failure."""
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax; import jax.numpy as jnp; "
+             "jnp.ones(4).sum().block_until_ready()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        sys.stderr.write("[bench] accelerator unavailable (device probe "
+                         f"failed within {timeout_s}s); no metric emitted\n")
+        raise SystemExit(3)
+
+
 def main():
+    _probe_device()
     import jax
     import jax.numpy as jnp
 
