@@ -103,13 +103,18 @@ def finalize_batch(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
                  | ((swin[:, None, :] == K.C) & (sfr[:, :, None] == K.T)))
                 & (swin[:, None, :] != K.N_CODE)
                 & (sfr[:, :, None] != K.N_CODE))
-        D = np.zeros((ns, m_max + 1, w_max + 1), dtype=np.int32)
-        js = np.arange(1, w_max + 1, dtype=np.int32)
+        # int16 rows: exact same values as int32, half the memory traffic
+        # (the 96-row loop is bandwidth/alloc bound); bool mtab rows fuse
+        # into the arithmetic without a per-row astype
+        D = np.zeros((ns, m_max + 1, w_max + 1), dtype=np.int16)
+        js = np.arange(1, w_max + 1, dtype=np.int16)
+        sub16 = (~mtab).astype(np.int16)    # one pass; avoids per-row casts
         for i in range(1, m_max + 1):
-            sub = 1 - mtab[:, i - 1, :].astype(np.int32)
-            b_row = np.minimum(D[:, i - 1, :-1] + sub, D[:, i - 1, 1:] + 1)
+            prev = D[:, i - 1, :]
+            b_row = np.minimum(prev[:, :-1] + sub16[:, i - 1, :],
+                               prev[:, 1:] + 1)
             run = np.minimum.accumulate(b_row - js, axis=1)
-            D[:, i, 1:] = np.minimum(run + js, i + js)
+            D[:, i, 1:] = np.minimum(run + js, np.int16(i) + js)
             D[:, i, 0] = i
         m_slow = m_arr[slow]
         w_slow = m_slow + 2 * e
@@ -118,7 +123,8 @@ def finalize_batch(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
         # could score lower -- mask them out, exactly like the per-read slice)
         jr = np.arange(w_max + 1, dtype=np.int64)
         last = D[np.arange(ns)[:, None], m_slow[:, None], jr[None, :]]
-        last = np.where(jr[None, :] <= w_slow[:, None], last, np.int32(2**30))
+        last = np.where(jr[None, :] <= w_slow[:, None], last,
+                        np.int16(2**15 - 1))
         jcur = np.argmin(last, axis=1).astype(np.int64)
         icur = m_slow.copy()
         # lockstep backtrace; ops stored walk-order (alignment end -> start)
@@ -132,7 +138,7 @@ def finalize_batch(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
             ip = np.maximum(icur - 1, 0)
             jp = np.maximum(jcur - 1, 0)
             d_here = D[rr, icur, jcur]
-            diag = D[rr, ip, jp] + 1 - mtab[rr, ip, jp].astype(np.int32)
+            diag = D[rr, ip, jp] + sub16[rr, ip, jp]
             take_m = active & (jcur > 0) & (d_here == diag)
             take_d = (active & ~take_m & (jcur > 0)
                       & (d_here == D[rr, icur, jp] + 1))
