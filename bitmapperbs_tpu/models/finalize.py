@@ -103,45 +103,67 @@ def finalize_batch(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
                  | ((swin[:, None, :] == K.C) & (sfr[:, :, None] == K.T)))
                 & (swin[:, None, :] != K.N_CODE)
                 & (sfr[:, :, None] != K.N_CODE))
-        # int16 rows: exact same values as int32, half the memory traffic
-        # (the 96-row loop is bandwidth/alloc bound); bool mtab rows fuse
-        # into the arithmetic without a per-row astype
-        D = np.zeros((ns, m_max + 1, w_max + 1), dtype=np.int16)
-        js = np.arange(1, w_max + 1, dtype=np.int16)
-        sub16 = (~mtab).astype(np.int16)    # one pass; avoids per-row casts
+        # Banded DP in diagonal coordinates d = j - i, d in [-e, 6e].
+        # Why this band is faithful to the full matrix (the frozen spec):
+        # with score <= e, any end column lies in [m-e, m+2e] (d <= 2e) and
+        # its witness alignment starts at s = j_end - span <= 3e, so every
+        # walked cell has d in [s-e, s+e] subset [-e, 4e] (and d >= -e
+        # because s >= 0).  The backtrace also COMPARES the diag/left
+        # neighbors of walked cells (d' <= 4e); a compared cell with true
+        # value v' <= e is exact in-band because its own optimal path stays
+        # within d <= d' + 2v' <= 6e (s' >= 0 bounds the low side at -e).
+        # Cells below -e have true value > e (>= forced insertions), so
+        # treating them as INF preserves every comparison.  Values are
+        # int16 and exact in-band; the j = 0 boundary column emerges from
+        # the row-0 base (j < 0 cells are INF), so no separate i + j cap
+        # term is needed.  ~3.5x fewer cells than the full-width rows.
+        B = 7 * e + 1                       # d = didx - e
+        INF16 = np.int16(2 ** 13)
+        sub16 = (~mtab).astype(np.int16)    # full-coords table (backtrace)
+        # padded mismatch rows: row i reads j-1 = (i-1)-e .. (i-1)+6e, i.e.
+        # subP[:, i-1, (i-1):(i-1)+B] with a left pad of e and right pad 4e
+        subP = np.ones((ns, m_max, e + w_max + 4 * e), dtype=np.int16)
+        subP[:, :, e:e + w_max] = sub16
+        D = np.full((ns, m_max + 1, B), INF16, dtype=np.int16)
+        D[:, 0, e:] = 0                     # row 0: j = d >= 0 is free start
+        idxB = np.arange(B, dtype=np.int16)
         for i in range(1, m_max + 1):
             prev = D[:, i - 1, :]
-            b_row = np.minimum(prev[:, :-1] + sub16[:, i - 1, :],
-                               prev[:, 1:] + 1)
-            run = np.minimum.accumulate(b_row - js, axis=1)
-            D[:, i, 1:] = np.minimum(run + js, np.int16(i) + js)
-            D[:, i, 0] = i
+            up = np.concatenate(            # (i-1, j) sits one diagonal up
+                [prev[:, 1:], np.full((ns, 1), INF16, np.int16)], axis=1)
+            b_row = np.minimum(prev + subP[:, i - 1, i - 1:i - 1 + B],
+                               up + 1)
+            run = np.minimum.accumulate(b_row - idxB, axis=1)
+            D[:, i, :] = run + idxB
         m_slow = m_arr[slow]
         w_slow = m_slow + 2 * e
-        # end column: smallest j over the VALID window achieving the row min
-        # (columns past a short read's true window hold real genome bases and
-        # could score lower -- mask them out, exactly like the per-read slice)
-        jr = np.arange(w_max + 1, dtype=np.int64)
-        last = D[np.arange(ns)[:, None], m_slow[:, None], jr[None, :]]
-        last = np.where(jr[None, :] <= w_slow[:, None], last,
-                        np.int16(2**15 - 1))
-        jcur = np.argmin(last, axis=1).astype(np.int64)
+        # end column: smallest j over the VALID window achieving the row
+        # min; in band coords j = m_slow + didx - e, so the j <= w_slow
+        # mask is didx <= 3e and smallest didx = smallest j
+        rr = np.arange(ns)
+        band_last = D[rr, m_slow, :]
+        jb = m_slow[:, None] + np.arange(B)[None, :] - e
+        band_last = np.where((jb >= 0) & (jb <= w_slow[:, None]),
+                             band_last, np.int16(2 ** 14))
+        didx0 = np.argmin(band_last, axis=1)
+        jcur = (m_slow + didx0 - e).astype(np.int64)
         icur = m_slow.copy()
         # lockstep backtrace; ops stored walk-order (alignment end -> start)
         # 0 = done, 1 = M, 2 = D (ref gap), 3 = I (read gap)
         max_steps = int((m_slow + w_slow).max()) if ns else 0
         opbuf = np.zeros((ns, max_steps), dtype=np.uint8)
-        rr = np.arange(ns)
         step = 0
         active = icur > 0
         while active.any():
             ip = np.maximum(icur - 1, 0)
             jp = np.maximum(jcur - 1, 0)
-            d_here = D[rr, icur, jcur]
-            diag = D[rr, ip, jp] + sub16[rr, ip, jp]
+            didx = np.clip(jcur - icur + e, 0, B - 1)
+            d_here = D[rr, icur, didx]
+            diag = D[rr, ip, didx] + sub16[rr, ip, jp]
             take_m = active & (jcur > 0) & (d_here == diag)
-            take_d = (active & ~take_m & (jcur > 0)
-                      & (d_here == D[rr, icur, jp] + 1))
+            left = D[rr, icur, np.maximum(didx - 1, 0)]
+            take_d = (active & ~take_m & (jcur > 0) & (didx > 0)
+                      & (d_here == left + 1))
             take_i = active & ~take_m & ~take_d
             opbuf[:, step] = take_m + 2 * take_d + 3 * take_i
             icur -= take_m | take_i

@@ -111,3 +111,73 @@ def test_batch_near_contig_edges(setup):
             assert got[i] is None
         else:
             assert got[i].line() == want.line()
+
+
+def test_banded_dp_tandem_repeat_ties(setup):
+    """Adversarial tie-break stress for the banded slow-path DP.
+
+    Tandem-repeat windows (periods 1-8) put equal-scoring shifted
+    alignments at many diagonals; the banded DP must still reproduce the
+    full-matrix end-column choice and traceback tie-breaks byte-for-byte.
+    """
+    import numpy as np
+
+    from bitmapperbs_tpu import constants as K
+    from bitmapperbs_tpu.config import AlignerConfig
+    from bitmapperbs_tpu.index.build import build_index
+    from bitmapperbs_tpu.models.finalize import finalize_batch
+    from bitmapperbs_tpu.oracle import align as A
+    from bitmapperbs_tpu.oracle.pipeline import Hit, finalize_hit
+    from bitmapperbs_tpu.utils import dna
+
+    rng = np.random.default_rng(99)
+    parts = []
+    for period in (1, 2, 3, 4, 5, 6, 8):
+        unit = rng.integers(0, 4, period)
+        parts.append(np.tile(unit, 1500 // period + 1)[:1500])
+        parts.append(rng.integers(0, 4, 100))
+    codes = np.concatenate(parts).astype(np.uint8)
+    fa = ">chr1\n" + "".join("ACGT"[c] for c in codes) + "\n"
+    idx = build_index(fa)
+    rc_ref = dna.revcomp(idx.genome.codes)
+    cfg = AlignerConfig(max_errors=4, indels=True, read_len_bucket=96)
+    e = cfg.max_errors
+    L = idx.genome.length
+
+    reads, quals, qnames, hits = [], [], [], []
+    for t in range(800):
+        m = int(rng.integers(40, 91))
+        pos = int(rng.integers(260, L - 300))
+        r = list(idx.genome.codes[pos:pos + m])
+        for _ in range(int(rng.integers(0, 4))):
+            k = int(rng.integers(0, len(r)))
+            op = rng.integers(0, 3)
+            if op == 0:
+                r[k] = int(rng.integers(0, 4))
+            elif op == 1 and len(r) > 30:
+                del r[k]
+            else:
+                r.insert(k, int(rng.integers(0, 4)))
+        r = np.array(r[:96], np.uint8)
+        if (r == K.N_CODE).any() or len(r) < 30:
+            continue
+        rr = dna.ct_convert(r)
+        sc = A.edit_distance(idx.genome.codes[pos - e: pos + len(r) + e], rr)
+        if sc > e:
+            continue
+        reads.append(rr)
+        quals.append("I" * len(rr))
+        qnames.append(f"t{t}")
+        hits.append((Hit(sc, pos, K.BLOCK_FWD, K.PAT_CT, pos), None))
+    assert len(reads) > 150
+    got = finalize_batch(idx, rc_ref, cfg, reads, quals, qnames, hits)
+    n_gapped = 0
+    for i in range(len(reads)):
+        ref = finalize_hit(idx, rc_ref, cfg, np.asarray(reads[i], np.uint8),
+                           quals[i], qnames[i], hits[i][0], hits[i][1])
+        a = None if got[i] is None else got[i].line()
+        b = None if ref is None else ref.line()
+        assert a == b, (i, a, b)
+        if a and ("I" in got[i].cigar or "D" in got[i].cigar):
+            n_gapped += 1
+    assert n_gapped > 50
