@@ -15,7 +15,7 @@ PROGRAM_ID = "bitmapperbs_tpu"
 VERSION = "0.1.0"
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class SamRecord:
     qname: str
     flag: int
