@@ -8,6 +8,8 @@ import re
 import struct
 import zlib
 
+import numpy as np
+
 from bitmapperbs_tpu.io.sam import SamRecord
 
 _BGZF_EOF = bytes.fromhex(
@@ -18,6 +20,12 @@ _SEQ_NIBBLE = {"=": 0, "A": 1, "C": 2, "M": 3, "G": 4, "R": 5, "S": 6,
                "B": 14, "N": 15}
 _CIGAR_OP = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5, "P": 6,
              "=": 7, "X": 8}
+
+# byte-translation tables: the per-character nibble/qual loops dominated
+# the encoder profile (~90 dict lookups / ord() calls per record)
+_NIB_TAB = bytes(_SEQ_NIBBLE.get(chr(c), 15) for c in range(256))
+_QUAL_TAB = bytes(max(c - 33, 0) if c >= 33 else 0 for c in range(256))
+_CIGAR_ONE = re.compile(r"^(\d+)M$")
 
 
 def _bgzf_block(data: bytes) -> bytes:
@@ -88,21 +96,26 @@ def _encode_record(rec: SamRecord, ref_ids: dict[str, int]) -> bytes:
     ref_id = ref_ids.get(rec.rname, -1)
     pos = rec.pos - 1
     name = rec.qname.encode() + b"\0"
-    cigar_ops = re.findall(r"(\d+)([MIDNSHP=X])", rec.cigar) \
-        if rec.cigar != "*" else []
+    one = _CIGAR_ONE.match(rec.cigar)        # ungapped fast path: "90M"
+    if one:
+        cigar_ops = [(one.group(1), "M")]
+    elif rec.cigar != "*":
+        cigar_ops = re.findall(r"(\d+)([MIDNSHP=X])", rec.cigar)
+    else:
+        cigar_ops = []
     cigar = b"".join(struct.pack("<I", (int(n) << 4) | _CIGAR_OP[op])
                      for n, op in cigar_ops)
     seq = rec.seq if rec.seq != "*" else ""
     l_seq = len(seq)
-    packed = bytearray()
-    for k in range(0, l_seq, 2):
-        hi = _SEQ_NIBBLE.get(seq[k], 15) << 4
-        lo = _SEQ_NIBBLE.get(seq[k + 1], 15) if k + 1 < l_seq else 0
-        packed.append(hi | lo)
+    nib = seq.encode().translate(_NIB_TAB)
+    if l_seq % 2:
+        nib += b"\0"
+    na = np.frombuffer(nib, dtype=np.uint8)
+    packed = ((na[0::2] << 4) | na[1::2]).tobytes()
     if rec.qual in ("*", "") or len(rec.qual) != l_seq:
         qual = b"\xff" * l_seq
     else:
-        qual = bytes(ord(c) - 33 for c in rec.qual)
+        qual = rec.qual.encode().translate(_QUAL_TAB)
     span = sum(int(n) for n, op in cigar_ops if op in "MDN=X") or 1
     nref_id = ref_ids.get(rec.rnext, ref_id if rec.rnext == "=" else -1)
     tags = bytearray()
@@ -119,7 +132,7 @@ def _encode_record(rec: SamRecord, ref_ids: dict[str, int]) -> bytes:
         reg2bin(pos, pos + span) if ref_id >= 0 else 4680,
         len(cigar_ops), rec.flag, l_seq,
         nref_id, rec.pnext - 1, rec.tlen,
-    ) + name + cigar + bytes(packed) + qual + bytes(tags)
+    ) + name + cigar + packed + qual + bytes(tags)
     return struct.pack("<i", len(body)) + body
 
 
