@@ -19,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bitmapperbs_tpu import constants as K
 from bitmapperbs_tpu.config import AlignerConfig
@@ -34,8 +35,10 @@ def myers_fn(cfg: AlignerConfig):
     return verify.myers
 
 U32 = jnp.uint32
-INVALID = jnp.uint32(0xFFFFFFFF)
-INF = jnp.int32(K.INF_SCORE)
+# numpy scalars: identical inside jit, but importing this module must
+# not initialize a jax backend (jnp scalar constants would)
+INVALID = np.uint32(0xFFFFFFFF)
+INF = np.int32(K.INF_SCORE)
 
 
 def frames_for(cfg: AlignerConfig) -> list[tuple[int, int]]:

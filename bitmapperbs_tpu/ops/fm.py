@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bitmapperbs_tpu import constants as K
 from bitmapperbs_tpu.index.device import DeviceIndex
@@ -17,7 +18,7 @@ from bitmapperbs_tpu.index.device import DeviceIndex
 _A = K.CONV_ALPHA
 _W = K.CP_WORDS
 U32 = jnp.uint32
-FULL = jnp.uint32(0xFFFFFFFF)
+FULL = np.uint32(0xFFFFFFFF)
 
 
 def _lower_mask(within):

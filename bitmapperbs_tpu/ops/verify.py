@@ -15,14 +15,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bitmapperbs_tpu import constants as K
 
 U32 = jnp.uint32
-FULL = jnp.uint32(0xFFFFFFFF)
+FULL = np.uint32(0xFFFFFFFF)
 # uint32 values >= this are treated as wrapped-around negatives (window
 # starts like anchor - e near position 0).  Real positions are < 2^32 - 4096.
-_NEG_T = jnp.uint32(0xFFFFF000)
+_NEG_T = np.uint32(0xFFFFF000)
 
 
 def _mask_lt(nbits):

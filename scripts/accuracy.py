@@ -55,7 +55,14 @@ def main():
     ap.add_argument("--read-len", type=int, default=90)
     ap.add_argument("--pbat", action="store_true")
     ap.add_argument("--pe", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon site hook "
+                         "overrides JAX_PLATFORMS, so an env var can't)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     rng = np.random.default_rng(0)
     cache = f"/tmp/acc_idx_{args.genome_bp}"
