@@ -27,8 +27,12 @@ def _translate_legacy(argv):
 
 
 def build_parser():
+    from bitmapperbs_tpu.io.sam import VERSION
+
     ap = argparse.ArgumentParser(prog="bitmapperbs_tpu",
                                  description=__doc__.split("\n")[0])
+    ap.add_argument("--version", action="version",
+                    version=f"bitmapperbs_tpu {VERSION}")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     ix = sub.add_parser("index", help="build the bisulfite FM-index")
