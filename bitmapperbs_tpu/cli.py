@@ -294,11 +294,18 @@ def cmd_search(args) -> int:
         from bitmapperbs_tpu.parallel import multihost
         pid, nproc = multihost.init_distributed(
             args.dist_coordinator, args.dist_hosts, args.dist_host_id)
+        gz = any(str(p).endswith(".gz")
+                 for p in (args.seq, args.seq1, args.seq2) if p)
         mode = args.dist_shard
         if mode == "auto":
-            gz = any(str(p).endswith(".gz")
-                     for p in (args.seq, args.seq1, args.seq2) if p)
             mode = "records" if gz else "bytes"
+        elif mode == "bytes" and gz:
+            # byte-range planning works on uncompressed offsets only; on a
+            # .gz the plan would be computed in compressed space while the
+            # reader seeks decompressed offsets -> silent record loss
+            raise SystemExit("error: --dist-shard bytes requires "
+                             "uncompressed FASTQ inputs (use 'records' or "
+                             "'auto' for .gz)")
         if mode == "bytes":
             range_plan = multihost.plan_byte_range(
                 args.seq1 if args.pe else args.seq, pid, nproc,

@@ -16,6 +16,7 @@ import hashlib
 import io
 import json
 import os
+import sys
 
 import numpy as np
 
@@ -341,11 +342,14 @@ def _build_blocks_parallel(ct_fwd, ct_rc, sa_rate, klt_k, mode):
     Artifacts are byte-identical to the sequential path
     (tests/test_fm_index.py::test_parallel_block_build).  RAM peak is two
     concurrent builds (~12 B/char each for sais; ~1 B/char for lowmem).
-    Workers talk through temp files: spawn (fork is unsafe under jax's
-    threads) + pickling multi-GB arrays through pipes is slower than tofile.
+    Workers talk through temp files: fresh interpreters (fork is unsafe
+    under jax's threads) + pickling multi-GB arrays through pipes is slower
+    than tofile.  Children run under subprocess with a per-child env (the
+    parent's environ is never mutated, so concurrent spawns elsewhere can't
+    race on PYTHONPATH) and their stderr is captured into the RuntimeError.
     """
-    import multiprocessing
     import shutil
+    import subprocess
     import tempfile
 
     d = tempfile.mkdtemp(prefix="btbs_build_")
@@ -358,26 +362,43 @@ def _build_blocks_parallel(ct_fwd, ct_rc, sa_rate, klt_k, mode):
             os.makedirs(od)
             jobs.append((tp, len(text), sa_rate, klt_k, mode, od))
         # numpy-only children: strip site hooks that would preload an
-        # accelerator runtime (single-tenant tunnels hang in children)
-        ctx = multiprocessing.get_context("spawn")
-        saved = os.environ.get("PYTHONPATH")
-        if saved is not None:
-            os.environ["PYTHONPATH"] = os.pathsep.join(
-                p for p in saved.split(os.pathsep)
-                if "site" not in os.path.basename(p) and "axon" not in p)
-        try:
-            procs = [ctx.Process(target=_build_block_worker, args=j)
-                     for j in jobs]
-            for p in procs:
-                p.start()
-            for p in procs:
-                p.join()
-        finally:
-            if saved is not None:
-                os.environ["PYTHONPATH"] = saved
-        if any(p.exitcode != 0 for p in procs):
-            raise RuntimeError("parallel block build worker failed "
-                               f"(exit codes {[p.exitcode for p in procs]})")
+        # accelerator runtime (single-tenant tunnels hang in children),
+        # but keep the package importable
+        env = dict(os.environ)
+        parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+        parts = [p for p in parts
+                 if "site" not in os.path.basename(p) and "axon" not in p]
+        pkg_root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        if pkg_root not in parts:
+            parts.insert(0, pkg_root)
+        env["PYTHONPATH"] = os.pathsep.join(parts)
+        runner = ("import json,sys\n"
+                  "from bitmapperbs_tpu.index.build import "
+                  "_build_block_worker\n"
+                  "_build_block_worker(*json.load(open(sys.argv[1])))\n")
+        procs = []
+        for j in jobs:
+            argf = os.path.join(j[-1], "args.json")
+            with open(argf, "w") as f:
+                json.dump(list(j), f)
+            errf = open(os.path.join(j[-1], "err.txt"), "wb")
+            procs.append((subprocess.Popen(
+                [sys.executable, "-c", runner, argf], env=env,
+                stderr=errf), errf, j[-1]))
+        fails = []
+        for p, errf, od in procs:
+            rc = p.wait()
+            errf.close()
+            if rc != 0:
+                with open(os.path.join(od, "err.txt"),
+                          errors="replace") as f:
+                    tail = f.read()[-2000:]
+                fails.append(f"worker {os.path.basename(od)} exit {rc}:"
+                             f"\n{tail}")
+        if fails:
+            raise RuntimeError("parallel block build failed\n"
+                               + "\n".join(fails))
         blocks = []
         for _, _, _, _, _, od in jobs:
             with open(os.path.join(od, "meta.json")) as f:

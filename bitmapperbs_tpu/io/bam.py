@@ -24,14 +24,19 @@ _CIGAR_OP = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5, "P": 6,
 # byte-translation tables: the per-character nibble/qual loops dominated
 # the encoder profile (~90 dict lookups / ord() calls per record)
 _NIB_TAB = bytes(_SEQ_NIBBLE.get(chr(c), 15) for c in range(256))
-_QUAL_TAB = bytes(max(c - 33, 0) if c >= 33 else 0 for c in range(256))
+# chars below '!' (ord 33) are invalid phred33; map them to a 0xFE sentinel
+# so the encoder can reject malformed quality strings with one memchr scan
+# instead of a per-character python loop
+_QUAL_TAB = bytes(c - 33 if c >= 33 else 0xFE for c in range(256))
 _CIGAR_ONE = re.compile(r"^(\d+)M$")
 
 
 def _bgzf_block(data: bytes) -> bytes:
     comp = zlib.compressobj(6, zlib.DEFLATED, -15)
     cdata = comp.compress(data) + comp.flush()
-    bsize = len(cdata) + 25 + 1  # header(12) + XLEN extra(6) + footer(8) - 1
+    # BSIZE = total block size - 1 (BGZF spec): header(12) + extra(6) +
+    # cdata + footer(8), minus 1
+    bsize = len(cdata) + 25
     header = struct.pack(
         "<BBBBIBBHBBHH",
         0x1f, 0x8b, 8, 4,    # gzip magic, deflate, FEXTRA
@@ -112,10 +117,20 @@ def _encode_record(rec: SamRecord, ref_ids: dict[str, int]) -> bytes:
         nib += b"\0"
     na = np.frombuffer(nib, dtype=np.uint8)
     packed = ((na[0::2] << 4) | na[1::2]).tobytes()
-    if rec.qual in ("*", "") or len(rec.qual) != l_seq:
+    if rec.qual in ("*", ""):
         qual = b"\xff" * l_seq
+    elif len(rec.qual) != l_seq:
+        # the SAM text would carry the mismatched string verbatim; encoding
+        # it as "missing" would silently diverge BAM from SAM
+        raise ValueError(
+            f"quality length {len(rec.qual)} != sequence length {l_seq} "
+            f"for read {rec.qname!r}")
     else:
         qual = rec.qual.encode().translate(_QUAL_TAB)
+        if 0xFE in qual:  # sentinel: a char below '!' (invalid phred33)
+            raise ValueError(
+                f"invalid quality string for read {rec.qname!r}: contains "
+                f"a character below '!' (not phred33)")
     span = sum(int(n) for n, op in cigar_ops if op in "MDN=X") or 1
     nref_id = ref_ids.get(rec.rnext, ref_id if rec.rnext == "=" else -1)
     tags = bytearray()

@@ -199,6 +199,34 @@ def test_two_host_byte_range_cli(tiny_dataset):
     assert sorted(merged) == _sam_records(single)
 
 
+def test_byte_shard_rejects_gz(tiny_dataset):
+    """--dist-shard bytes on a .gz input must fail loudly: byte-range plans
+    are computed on uncompressed offsets; on compressed bytes hosts would
+    silently drop/duplicate records."""
+    import gzip
+
+    d, ref, fq = tiny_dataset
+    gzfq = d / "reads.fq.gz"
+    gzfq.write_bytes(gzip.compress(fq.read_bytes()))
+    p = _stub_cli_subprocess(
+        ["search", str(ref), "--seq", str(gzfq), "-o", str(d / "gz.sam"),
+         "--oracle", "--batch-size", "8", "--read-bucket", "64",
+         "--dist-hosts", "2", "--dist-host-id", "0",
+         "--dist-shard", "bytes"])
+    _, err = p.communicate(timeout=300)
+    assert p.returncode != 0
+    assert b"uncompressed" in err
+    # auto mode on the same input must route to records and succeed
+    p = _stub_cli_subprocess(
+        ["search", str(ref), "--seq", str(gzfq), "-o", str(d / "gz.sam"),
+         "--oracle", "--batch-size", "8", "--read-bucket", "64",
+         "--dist-hosts", "2", "--dist-host-id", "0",
+         "--dist-shard", "auto"])
+    _, err = p.communicate(timeout=300)
+    assert p.returncode == 0, err.decode()
+    assert b"(records)" in err
+
+
 def test_two_process_distributed_smoke(tiny_dataset):
     """Two real processes over jax.distributed (localhost coordinator):
     shard outputs concatenate to exactly the single-host record set."""
