@@ -212,6 +212,48 @@ def cmd_resample(args) -> int:
     return 0
 
 
+def _budget_for(rate: float, length: int) -> int:
+    """Per-read -e rate resolution: floor(rate*len), clamped to the config
+    range (SURVEY.md 2.1 'max errors or error rate')."""
+    return min(15, max(1, int(rate * length)))
+
+
+def _map_rate_se(run, cfg, rate, codes, quals, qnames):
+    """Partition a batch by per-read budget and map each group with its own
+    static config; records are reassembled in input order."""
+    budgets = [_budget_for(rate, len(c)) for c in codes]
+    uniq = sorted(set(budgets))
+    if len(uniq) == 1:
+        return run(cfg.replace(max_errors=uniq[0]), codes, quals, qnames)
+    recs = [None] * len(codes)
+    for b in uniq:
+        sel = [i for i, v in enumerate(budgets) if v == b]
+        sub = run(cfg.replace(max_errors=b), [codes[i] for i in sel],
+                  [quals[i] for i in sel], [qnames[i] for i in sel])
+        for i, r in zip(sel, sub):
+            recs[i] = r
+    return recs
+
+
+def _map_rate_pe(run, cfg, rate, prs, quals, qn):
+    """PE analogue of _map_rate_se: a pair's budget is the max of its two
+    mates' per-read budgets (equal-length mates -- the norm -- resolve
+    exactly per read); two records per pair, input order preserved."""
+    budgets = [max(_budget_for(rate, len(a)), _budget_for(rate, len(b)))
+               for a, b in prs]
+    uniq = sorted(set(budgets))
+    if len(uniq) == 1:
+        return run(cfg.replace(max_errors=uniq[0]), prs, quals, qn)
+    recs = [None] * (2 * len(prs))
+    for b in uniq:
+        sel = [i for i, v in enumerate(budgets) if v == b]
+        sub = run(cfg.replace(max_errors=b), [prs[i] for i in sel],
+                  [quals[i] for i in sel], [qn[i] for i in sel])
+        for j, i in enumerate(sel):
+            recs[2 * i], recs[2 * i + 1] = sub[2 * j], sub[2 * j + 1]
+    return recs
+
+
 def cmd_search(args) -> int:
     if getattr(args, "platform", "auto") != "auto":
         # must precede backend init; jax's module import may already have
@@ -261,20 +303,22 @@ def cmd_search(args) -> int:
         args.read_bucket = max(32, -(-mx // 32) * 32)
         sys.stderr.write(f"[bitmapperbs_tpu] read bucket auto-sized to "
                          f"{args.read_bucket} (longest head read {mx} bp)\n")
+    error_rate = None
     if 0 < args.max_errors < 1:
         # -e as an error RATE (SURVEY.md 2.1 "max errors or error rate"):
-        # resolve against the first read's length (uniform-length FASTQs
-        # are the norm; the resolved budget is printed so it's auditable)
+        # the budget resolves PER READ as floor(rate * length) (mixed-length
+        # FASTQs get per-length budgets; each distinct budget is one static
+        # jit config).  The base config uses the first read's length.
         first = next(iter(FastqReader(args.seq1 if args.pe else args.seq,
                                       batch_size=1)), None)
         if first is None or not len(first.codes):
             sys.stderr.write("error: empty FASTQ\n")
             return 2
-        rate = args.max_errors
-        args.max_errors = max(1, int(rate * len(first.codes[0])))
-        sys.stderr.write(f"[bitmapperbs_tpu] -e {rate} -> max_errors="
-                         f"{args.max_errors} (read length "
-                         f"{len(first.codes[0])})\n")
+        error_rate = args.max_errors
+        args.max_errors = _budget_for(error_rate, len(first.codes[0]))
+        sys.stderr.write(f"[bitmapperbs_tpu] -e {error_rate} -> per-read "
+                         f"max_errors=floor(rate*len) (first read: "
+                         f"{args.max_errors} at {len(first.codes[0])} bp)\n")
     cfg = make_config(args)
     idx = load_index(prefix)
 
@@ -353,6 +397,19 @@ def cmd_search(args) -> int:
             return 2
         else:
             dix = upload_index(idx)
+
+    # -e rate mode: one multi-chip mapper set per distinct budget, sharing
+    # the base mappers' mesh + uploaded index
+    _budget_mappers = {}
+
+    def mappers_for(c):
+        if mappers is None or c.max_errors == cfg.max_errors:
+            return mappers
+        if c.max_errors not in _budget_mappers:
+            from bitmapperbs_tpu.parallel.shard import make_cli_mappers
+            _budget_mappers[c.max_errors] = make_cli_mappers(
+                idx, c, shard_index=args.shard_index, reuse=mappers)
+        return _budget_mappers[c.max_errors]
 
     bam = args.bam or args.output.endswith(".bam")
     if bam and args.output == "-":
@@ -445,10 +502,16 @@ def cmd_search(args) -> int:
             gbuf.clear()
             if use_oracle:
                 from bitmapperbs_tpu.oracle.pipeline import map_batch_se
-                recs = map_batch_se(idx, cfg, codes, quals, qnames)
+                run = lambda c, cs, qs, ns: map_batch_se(idx, c, cs, qs, ns)
             else:
-                recs = map_batch_tpu(idx, dix, cfg, codes, quals, qnames,
-                                     stats=stats, pool=pool, mappers=mappers)
+                run = lambda c, cs, qs, ns: map_batch_tpu(
+                    idx, dix, c, cs, qs, ns, stats=stats, pool=pool,
+                    mappers=mappers_for(c))
+            if error_rate is None:
+                recs = run(cfg, codes, quals, qnames)
+            else:
+                recs = _map_rate_se(run, cfg, error_rate, codes, quals,
+                                    qnames)
             emit(recs, codes, qnames, quals)
             out_fh.flush()
             save_cursor(*last[0])
@@ -495,11 +558,15 @@ def cmd_search(args) -> int:
                     continue
             if use_oracle:
                 from bitmapperbs_tpu.oracle.paired import map_batch_pe
-                recs = map_batch_pe(idx, cfg, prs, quals, qn)
+                run = lambda c, ps, qs, ns: map_batch_pe(idx, c, ps, qs, ns)
             else:
-                recs = map_batch_pe_tpu(idx, dix, cfg, prs, quals, qn,
-                                        stats=stats, pool=pool,
-                                        mappers=mappers)
+                run = lambda c, ps, qs, ns: map_batch_pe_tpu(
+                    idx, dix, c, ps, qs, ns, stats=stats, pool=pool,
+                    mappers=mappers_for(c))
+            if error_rate is None:
+                recs = run(cfg, prs, quals, qn)
+            else:
+                recs = _map_rate_pe(run, cfg, error_rate, prs, quals, qn)
             flat_reads = [r for p in prs for r in p]
             flat_qn = [q_ for q_ in qn for _ in (0, 1)]
             flat_q = [q for p in quals for q in p]

@@ -84,7 +84,10 @@ def map_batch_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
         task = (arr, lengths, len(chunk), quals[lo:lo + len(chunk)],
                 qnames[lo:lo + len(chunk)], out_np)
         if pool is not None:
-            futures.append(pool.apply_async(_finalize_se_task, (task,)))
+            # cfg rides along: the pool's baked-in cfg may differ (-e rate
+            # mode maps budget groups with distinct static configs)
+            futures.append(pool.apply_async(_finalize_se_task,
+                                            (task + (cfg,),)))
         else:
             out_recs.extend(_finalize_se_task_local(idx, rc_ref, cfg, task))
 
@@ -178,7 +181,8 @@ def map_batch_pe_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
                 qnames[lo:lo + len(chunk)] if qnames else
                 [f"p{lo + i}" for i in range(len(chunk))], host)
         if pool is not None:
-            futures.append(pool.apply_async(_assemble_pe_task, (task,)))
+            futures.append(pool.apply_async(_assemble_pe_task,
+                                            (task + (cfg,),)))
         else:
             out_recs.extend(_assemble_pe_local(idx, rc_ref, cfg, *task))
 

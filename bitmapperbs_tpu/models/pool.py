@@ -75,8 +75,10 @@ def _finalize_se_task(args):
     device-output dict; everything per-read happens in the worker."""
     idx = _POOL_CTX["idx"]
     rc_ref = _POOL_CTX["rc_ref"]
-    cfg = _POOL_CTX["cfg"]
-    arr, lengths, n, quals, qnames, out_np = args
+    # per-task cfg override (cli -e rate mode maps each read-length budget
+    # with its own static config); None = the pool's construction-time cfg
+    arr, lengths, n, quals, qnames, out_np, cfg = args
+    cfg = cfg if cfg is not None else _POOL_CTX["cfg"]
     chunk = [arr[i, :lengths[i]] for i in range(n)]
     hits = device_results_to_hits(cfg, idx.genome.length, lengths, out_np)
     recs = finalize_batch(idx, rc_ref, cfg, chunk, quals, qnames, hits[:n])
@@ -155,8 +157,9 @@ def _finalize_se_task_local(idx, rc_ref, cfg, task):
 def _assemble_pe_task(args):
     idx = _POOL_CTX["idx"]
     rc_ref = _POOL_CTX["rc_ref"]
-    cfg = _POOL_CTX["cfg"]
-    return _assemble_pe_local(idx, rc_ref, cfg, *args)
+    *rest, cfg = args
+    cfg = cfg if cfg is not None else _POOL_CTX["cfg"]
+    return _assemble_pe_local(idx, rc_ref, cfg, *rest)
 
 
 def _patch_pair_fields(r1, r2, proper: bool):

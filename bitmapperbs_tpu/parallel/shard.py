@@ -178,28 +178,37 @@ class CliMappers:
 
 
 def make_cli_mappers(idx: BSIndex, cfg: AlignerConfig, devices=None,
-                     shard_index: int = 0) -> CliMappers:
+                     shard_index: int = 0,
+                     reuse: "CliMappers | None" = None) -> CliMappers:
     """Build the production multi-chip mappers over the local devices.
 
     devices: list of jax devices (default jax.local_devices()).
     shard_index: if > 0, shard the index arrays over an 'idx' axis of this
     size (HBM relief for genomes larger than one chip's memory); the data
     axis gets the remaining ndev // shard_index chips.  0 = replicated.
+    reuse: an existing CliMappers whose mesh + uploaded index are reused
+    (only the jitted mappers are rebuilt for the new cfg -- cli -e rate
+    mode builds one mapper set per read-length budget without re-uploading
+    the index).
     """
-    devices = list(jax.local_devices()) if devices is None else list(devices)
-    ndev = len(devices)
-    if shard_index:
-        if ndev % shard_index:
-            raise ValueError(f"--shard-index {shard_index} does not divide "
-                             f"device count {ndev}")
-        data = ndev // shard_index
-        mesh = Mesh(np.array(devices).reshape(data, shard_index),
-                    ("data", "idx"))
-        dix = upload_index_sharded(idx, mesh, "idx")
+    if reuse is not None:
+        mesh, dix, data = reuse.mesh, reuse.dix, reuse.batch_round
     else:
-        data = ndev
-        mesh = Mesh(np.array(devices), ("data",))
-        dix = jax.device_put(upload_index(idx), NamedSharding(mesh, P()))
+        devices = (list(jax.local_devices()) if devices is None
+                   else list(devices))
+        ndev = len(devices)
+        if shard_index:
+            if ndev % shard_index:
+                raise ValueError(f"--shard-index {shard_index} does not "
+                                 f"divide device count {ndev}")
+            data = ndev // shard_index
+            mesh = Mesh(np.array(devices).reshape(data, shard_index),
+                        ("data", "idx"))
+            dix = upload_index_sharded(idx, mesh, "idx")
+        else:
+            data = ndev
+            mesh = Mesh(np.array(devices), ("data",))
+            dix = jax.device_put(upload_index(idx), NamedSharding(mesh, P()))
 
     out = CliMappers(mesh=mesh, dix=dix, batch_round=data)
     rd_s = NamedSharding(mesh, P("data", None))

@@ -175,3 +175,60 @@ def test_ambiguous_out(tmp_path):
     assert n_amb_records > 10  # tandem repeat: most reads are ambiguous
     n_fq = sum(1 for l in open(amb) if l.startswith("@"))
     assert n_fq == n_amb_records
+
+
+def test_error_rate_per_read_budgets(tmp_path, rng):
+    """-e as a rate resolves per read-length: a mixed 60/120 bp FASTQ maps
+    with budgets 2 and 4 (rate 0.035), matching per-budget -e runs exactly;
+    device path agrees with the oracle."""
+    from bitmapperbs_tpu.index.build import build_index, save_index
+    from bitmapperbs_tpu.utils.simulate import simulate_reads
+
+    fa = random_genome_fasta(rng, contigs=(6000,))
+    ref = tmp_path / "ref.fa"
+    ref.write_text(fa)
+    idx = build_index(str(ref))
+    save_index(idx, str(ref) + ".btidx")
+    short = simulate_reads(idx.genome, 10, read_len=60, seed=7, sub_rate=0.02)
+    long_ = simulate_reads(idx.genome, 10, read_len=120, seed=8, sub_rate=0.02)
+    reads, names, quals = [], [], []
+    for i in range(10):  # interleave so every batch is mixed
+        for tag, s in (("s", short[i]), ("l", long_[i])):
+            reads.append(s.codes)
+            names.append(f"{tag}{i}")
+            quals.append("I" * len(s.codes))
+    fq = tmp_path / "mix.fq"
+    write_fastq(str(fq), reads, names, quals)
+
+    def body(p):
+        return [l for l in open(p).read().splitlines()
+                if not l.startswith("@")]
+
+    base = ["search", str(ref), "--seq", str(fq), "--oracle",
+            "--batch-size", "20", "--read-bucket", "128"]
+    out_rate = tmp_path / "rate.sam"
+    assert main(base + ["-o", str(out_rate), "-e", "0.035"]) == 0
+    # reference: each length group mapped alone with its resolved budget
+    by_name = {}
+    for e, tag in (("2", "s"), ("4", "l")):
+        sub_fq = tmp_path / f"only{tag}.fq"
+        keep = [i for i, n in enumerate(names) if n.startswith(tag)]
+        write_fastq(str(sub_fq), [reads[i] for i in keep],
+                    [names[i] for i in keep], [quals[i] for i in keep])
+        out = tmp_path / f"only{tag}.sam"
+        assert main(["search", str(ref), "--seq", str(sub_fq), "--oracle",
+                     "--batch-size", "20", "--read-bucket", "128",
+                     "-o", str(out), "-e", e]) == 0
+        for l in body(out):
+            by_name[l.split("\t")[0]] = l
+    got = body(out_rate)
+    assert len(got) == 20
+    for l in got:
+        assert l == by_name[l.split("\t")[0]]
+    # device path: byte-identical records to the oracle rate run
+    out_dev = tmp_path / "rate_dev.sam"
+    assert main(["search", str(ref), "--seq", str(fq), "--platform", "cpu",
+                 "--single-device", "--batch-size", "20",
+                 "--read-bucket", "128", "-o", str(out_dev),
+                 "-e", "0.035"]) == 0
+    assert body(out_dev) == got
