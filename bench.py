@@ -105,6 +105,23 @@ def main():
     sys.stderr.write(f"[bench] paired-end: {pe_rps:.0f} reads/s/chip "
                      f"({pe_rps / 2:.0f} pairs/s)\n")
 
+    # end-to-end throughput: device map + host finalize -> SamRecords
+    # (the full production path of models/host.map_batch_tpu, minus disk).
+    # Published next to the device rate so the host-bound gap is visible
+    # (this VM exposes ONE core; real TPU hosts scale finalize with -t).
+    from bitmapperbs_tpu.models.host import map_batch_tpu
+
+    quals = ["I" * len(r) for r in reads]
+    qnames = [f"r{i}" for i in range(len(reads))]
+    recs = map_batch_tpu(idx, dix, cfg, reads, quals, qnames)  # warm
+    t0 = time.perf_counter()
+    recs = map_batch_tpu(idx, dix, cfg, reads, quals, qnames)
+    e2e_rps = len(reads) / (time.perf_counter() - t0)
+    n_mapped = sum(1 for r in recs if not r.flag & 0x4)
+    sys.stderr.write(f"[bench] end-to-end (map+finalize->records): "
+                     f"{e2e_rps:.0f} reads/s/core-limited "
+                     f"({n_mapped}/{len(reads)} mapped)\n")
+
     # oracle throughput on a subsample (extrapolated)
     n_o = 16
     t0 = time.perf_counter()

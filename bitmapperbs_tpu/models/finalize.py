@@ -23,6 +23,13 @@ from bitmapperbs_tpu.oracle.pipeline import Hit, finalize_hit
 from bitmapperbs_tpu.utils import dna
 
 _BASE = np.frombuffer(b"ACGTN", dtype=np.uint8)
+# (block, pat) -> (XR, XG) / reverse-flag, indexed as block*2 + pat
+_TAG4 = [None] * 4
+for _b in (0, 1):
+    for _p in (0, 1):
+        _TAG4[_b * 2 + _p] = K.CONV_TAGS[(_b, _p)]
+_REV4 = np.array([K.IS_REVERSE[(b, p)] for b in (0, 1) for p in (0, 1)],
+                 dtype=bool)
 
 
 def _gather_windows(codes: np.ndarray, starts: np.ndarray, width: int,
@@ -35,36 +42,114 @@ def _gather_windows(codes: np.ndarray, starts: np.ndarray, width: int,
     return out
 
 
+def _oriented_rows(arr: np.ndarray, lens: np.ndarray, rev: np.ndarray,
+                   m_max: int) -> np.ndarray:
+    """uint8 [n, m_max]: row r = arr[r, :lens[r]], reverse-complemented where
+    rev[r], N-padded -- the vectorized replacement for a per-read
+    fill-and-revcomp loop."""
+    w = arr.shape[1]
+    j = np.arange(m_max)
+    src = np.where(rev[:, None], lens[:, None] - 1 - j[None, :], j[None, :])
+    vals = arr[np.arange(len(arr))[:, None], np.clip(src, 0, w - 1)]
+    vals = np.where(rev[:, None], dna._COMP[vals], vals)
+    return np.where(j[None, :] < lens[:, None], vals,
+                    K.N_CODE).astype(np.uint8)
+
+
 def finalize_batch(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
                    reads, quals, qnames, hits,
-                   flag_extras=None, mapq_overrides=None):
+                   flag_extras=None, mapq_overrides=None, padded=None):
     """Vectorized equivalent of [finalize_hit(...) for each read].
 
     hits: list of (best Hit | None, second Hit | None).  Returns a list of
     SamRecord | None (None = unmapped / rejected / suppressed-ambiguous),
     byte-identical to per-read finalize_hit.
+    padded: optional (uint8[n, bucket] N-padded array, int lengths[n])
+    covering `reads` -- callers that already hold the device batch pass it
+    so no per-read row fills happen here.
     """
     n = len(reads)
-    out: list[SamRecord | None] = [None] * n
-    e = cfg.max_errors
-    L = idx.genome.length
-    gcodes = idx.genome.codes
-
-    # ---- classify: mapped rows, then fast (ungapped) vs slow (traceback) --
+    if padded is None:
+        lens_all = np.array([len(r) for r in reads], dtype=np.int64)
+        arr_all = np.full((n, int(lens_all.max()) if n else 1), K.N_CODE,
+                          dtype=np.uint8)
+        for i, r in enumerate(reads):
+            arr_all[i, :len(r)] = r
+    else:
+        arr_all = np.asarray(padded[0], dtype=np.uint8)
+        lens_all = np.asarray(padded[1], dtype=np.int64)[:n]
     rows = [i for i, (b, _) in enumerate(hits) if b is not None]
     if not rows:
-        return out
-    m_arr = np.array([len(reads[i]) for i in rows], dtype=np.int64)
+        return [None] * n
     a_arr = np.array([hits[i][0].anchor for i in rows], dtype=np.int64)
     blk = np.array([hits[i][0].block for i in rows], dtype=np.int64)
     pat = np.array([hits[i][0].pat for i in rows], dtype=np.int64)
     score = np.array([hits[i][0].score for i in rows], dtype=np.int64)
+    sec_sc = np.array([(hits[i][1].score if hits[i][1] is not None else -1)
+                       for i in rows], dtype=np.int64)
+    return _finalize_core(idx, rc_ref, cfg, arr_all, lens_all, quals, qnames,
+                          n, rows, a_arr, blk, pat, score, sec_sc,
+                          lambda i: hits[i], flag_extras, mapq_overrides)
+
+
+def finalize_batch_device(idx: BSIndex, rc_ref: np.ndarray,
+                          cfg: AlignerConfig, arr, lengths, quals, qnames,
+                          out_np, flag_extras=None, mapq_overrides=None):
+    """finalize_batch fed straight from the device output dict -- no
+    per-read Hit objects (they cost ~10us/read at 100k+ reads/s; profiled
+    as a top-3 host cost).  Semantics identical to
+    device_results_to_hits + finalize_batch (models/pool.py keeps that
+    pair as the spec; tests assert record equality)."""
+    n = len(qnames)
+    bs = np.asarray(out_np["best_score"], dtype=np.int64)[:n]
+    bp = np.asarray(out_np["best_bp"], dtype=np.int64)[:n]
+    ba = np.asarray(out_np["best_anchor"], dtype=np.int64)[:n]
+    ss = np.asarray(out_np["second_score"], dtype=np.int64)[:n]
+    arr_all = np.asarray(arr, dtype=np.uint8)
+    lens_all = np.asarray(lengths, dtype=np.int64)[:n]
+    rows_a = np.flatnonzero(bs < K.INF_SCORE)
+    if len(rows_a) == 0:
+        return [None] * n
+    rows = rows_a.tolist()
+    blk = bp[rows_a] >> 1
+    pat = bp[rows_a] & 1
+    a_arr = ba[rows_a]
+    score = bs[rows_a]
+    sec_sc = np.where(ss[rows_a] < K.INF_SCORE, ss[rows_a], -1)
+
+    def degen_pair(i):
+        from bitmapperbs_tpu.oracle.pipeline import Hit
+        b, p = int(bp[i]) >> 1, int(bp[i]) & 1
+        a = int(ba[i])
+        fwd = (a if b == K.BLOCK_FWD
+               else idx.genome.length - a - int(lens_all[i]))
+        second = Hit(int(ss[i]), 0, 0, 0, 0) if ss[i] < K.INF_SCORE else None
+        return Hit(int(bs[i]), fwd, b, p, a), second
+
+    return _finalize_core(idx, rc_ref, cfg, arr_all, lens_all, quals, qnames,
+                          n, rows, a_arr, blk, pat, score, sec_sc,
+                          degen_pair, flag_extras, mapq_overrides)
+
+
+def _finalize_core(idx, rc_ref, cfg, arr_all, lens_all, quals, qnames,
+                   n, rows, a_arr, blk, pat, score, sec_sc, degen_pair,
+                   flag_extras, mapq_overrides):
+    out: list[SamRecord | None] = [None] * n
+    e = cfg.max_errors
+    L = idx.genome.length
+    gcodes = idx.genome.codes
+    m_arr = lens_all[rows]
+    has2 = sec_sc >= 0
+    amb_all = has2 & (sec_sc == score)
+    _mq_tab = np.array([K.MAPQ_TABLE[g] for g in range(4)] + [K.MAPQ_MAX],
+                       dtype=np.int64)
+    mapq_all = np.where(has2, _mq_tab[np.clip(sec_sc - score, 0, 4)],
+                        K.MAPQ_MAX)
+    mapq_all = np.where(amb_all, 0, mapq_all)
 
     m_max = int(m_arr.max())
-    fr = np.full((len(rows), m_max), K.N_CODE, dtype=np.uint8)
-    for k, i in enumerate(rows):
-        r = np.asarray(reads[i], dtype=np.uint8)
-        fr[k, :len(r)] = r if hits[i][0].pat == K.PAT_CT else dna.revcomp(r)
+    arr_rows = arr_all[rows]
+    fr = _oriented_rows(arr_rows, m_arr, pat != K.PAT_CT, m_max)
     inlen = np.arange(m_max)[None, :] < m_arr[:, None]
 
     # frame window at the anchor: block 0 reads W, block 1 reads rc(W)
@@ -119,11 +204,10 @@ def finalize_batch(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
         # term is needed.  ~3.5x fewer cells than the full-width rows.
         B = 7 * e + 1                       # d = didx - e
         INF16 = np.int16(2 ** 13)
-        sub16 = (~mtab).astype(np.int16)    # full-coords table (backtrace)
         # padded mismatch rows: row i reads j-1 = (i-1)-e .. (i-1)+6e, i.e.
         # subP[:, i-1, (i-1):(i-1)+B] with a left pad of e and right pad 4e
         subP = np.ones((ns, m_max, e + w_max + 4 * e), dtype=np.int16)
-        subP[:, :, e:e + w_max] = sub16
+        subP[:, :, e:e + w_max] = ~mtab
         D = np.full((ns, m_max + 1, B), INF16, dtype=np.int16)
         D[:, 0, e:] = 0                     # row 0: j = d >= 0 is free start
         idxB = np.arange(B, dtype=np.int16)
@@ -135,6 +219,29 @@ def finalize_batch(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
                                up + 1)
             run = np.minimum.accumulate(b_row - idxB, axis=1)
             D[:, i, :] = run + idxB
+        # Per-cell backtrace direction, ONE vectorized 3D pass (1 = M diag,
+        # 2 = D left, 3 = I up; priority M > D > I with the same j>0 /
+        # didx>0 guards the former per-step comparisons used).  The walk
+        # below then needs one gather per step instead of ~15 numpy ops
+        # re-deriving the comparisons (profiled as the dominant finalize
+        # cost on gapped batches).  subP's per-row moving slice
+        # [i-1 : i-1+B] is a strided diagonal view (no copy).
+        from numpy.lib.stride_tricks import as_strided
+        s0, s1, s2 = subP.strides
+        W = as_strided(subP, shape=(ns, m_max, B),
+                       strides=(s0, s1 + s2, s2))
+        Dk = D[:, 1:, :]
+        m_all = Dk == (D[:, :-1, :] + W)
+        left_all = np.empty_like(Dk)
+        left_all[:, :, 0] = INF16           # didx 0 has no left neighbor;
+        left_all[:, :, 1:] = Dk[:, :, :-1]  # INF16+1 never equals a value
+        d_all = (Dk == left_all + 1) & ~m_all
+        for i in range(1, min(e, m_max) + 1):
+            m_all[:, i - 1, :e - i + 1] = False   # j = i+didx-e > 0 guard
+            d_all[:, i - 1, :e - i + 1] = False
+        dirs = np.zeros((ns, m_max + 1, B), dtype=np.uint8)
+        dirs[:, 1:, :] = (3 - 2 * m_all.astype(np.uint8)
+                          - d_all.astype(np.uint8))
         m_slow = m_arr[slow]
         w_slow = m_slow + 2 * e
         # end column: smallest j over the VALID window achieving the row
@@ -155,19 +262,11 @@ def finalize_batch(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
         step = 0
         active = icur > 0
         while active.any():
-            ip = np.maximum(icur - 1, 0)
-            jp = np.maximum(jcur - 1, 0)
             didx = np.clip(jcur - icur + e, 0, B - 1)
-            d_here = D[rr, icur, didx]
-            diag = D[rr, ip, didx] + sub16[rr, ip, jp]
-            take_m = active & (jcur > 0) & (d_here == diag)
-            left = D[rr, icur, np.maximum(didx - 1, 0)]
-            take_d = (active & ~take_m & (jcur > 0) & (didx > 0)
-                      & (d_here == left + 1))
-            take_i = active & ~take_m & ~take_d
-            opbuf[:, step] = take_m + 2 * take_d + 3 * take_i
-            icur -= take_m | take_i
-            jcur -= take_m | take_d
+            op = np.where(active, dirs[rr, icur, didx], 0)
+            opbuf[:, step] = op
+            icur -= active & (op != 2)      # M/I consume a read base
+            jcur -= active & (op != 3)      # M/D consume a window base
             active = icur > 0
             step += 1
         nsteps = (opbuf != 0).sum(axis=1)
@@ -181,29 +280,35 @@ def finalize_batch(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
         # formatting stays per-read (a handful of events each).
         blkS = blk[slow]
         patS = pat[slow]
-        revS = np.array([K.IS_REVERSE[(int(b), int(p))]
-                         for b, p in zip(blkS, patS)], dtype=bool)
-        degen = np.zeros(ns, dtype=bool)
-        degen_ref_start = np.zeros(ns, dtype=np.int64)
-        trimmed: list[np.ndarray] = []
-        frame_pos = np.zeros(ns, dtype=np.int64)
-        A_max = 1
-        for t in range(ns):
-            o = opbuf[t, :nsteps[t]][::-1]          # chronological order
-            keep = np.flatnonzero(o != 2)           # trim leading/trailing D
-            if len(keep) == 0:                      # empty alignment: spec
-                degen[t] = True
-                degen_ref_start[t] = int(jcur[t]) + len(o)
-                trimmed.append(o[:0])
-                continue
-            o = o[int(keep[0]):int(keep[-1]) + 1]
-            trimmed.append(o[::-1] if revS[t] else o)
-            frame_pos[t] = (a_arr[slow[t]] - e + int(jcur[t])
-                            + int(keep[0]))
-            A_max = max(A_max, len(o))
-        ops_f = np.zeros((ns, A_max), dtype=np.uint8)
-        for t, o in enumerate(trimmed):
-            ops_f[t, :len(o)] = o
+        revS = _REV4[blkS * 2 + patS]
+        # vectorized trim: lay the walk-order opbuf out chronologically via
+        # index math, find the first/last non-D columns with argmax, and
+        # build the fwd-orientation ops grid with one fancy-index gather --
+        # no per-read python trim loop
+        A0 = max(int(nsteps.max()) if ns else 1, 1)
+        jj = np.arange(A0)
+        src = nsteps[:, None] - 1 - jj[None, :]
+        chron = np.where(
+            src >= 0,
+            opbuf[rr[:, None], np.clip(src, 0, max(opbuf.shape[1] - 1, 0))],
+            0).astype(np.uint8)
+        keepm = (chron != 2) & (chron != 0)         # trim leading/trailing D
+        any_keep = keepm.any(axis=1)
+        first = np.argmax(keepm, axis=1)
+        last = A0 - 1 - np.argmax(keepm[:, ::-1], axis=1)
+        tlenS = np.where(any_keep, last - first + 1, 0).astype(np.int64)
+        degen = ~any_keep                           # empty alignment: spec
+        degen_ref_start = jcur + nsteps
+        frame_pos = a_arr[slow] - e + jcur + first
+        A_max = max(int(tlenS.max()), 1)
+        j2 = np.arange(A_max)
+        within = j2[None, :] < tlenS[:, None]
+        src2 = first[:, None] + np.where(revS[:, None],
+                                         tlenS[:, None] - 1 - j2[None, :],
+                                         j2[None, :])
+        ops_f = np.where(within,
+                         chron[rr[:, None], np.clip(src2, 0, A0 - 1)],
+                         0).astype(np.uint8)
         isM = ops_f == 1
         isD = ops_f == 2
         isI = ops_f == 3
@@ -221,10 +326,7 @@ def finalize_batch(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
                                       <= idx.genome.lengths[ciS])
         gaS = blkS == K.BLOCK_RC
 
-        fwd_readS = np.full((ns, m_max), K.N_CODE, dtype=np.uint8)
-        for t, k in enumerate(slow):
-            r = np.asarray(reads[rows[k]], dtype=np.uint8)
-            fwd_readS[t, :len(r)] = dna.revcomp(r) if revS[t] else r
+        fwd_readS = _oriented_rows(arr_rows[slow], m_arr[slow], revS, m_max)
 
         q = fwd_posS[:, None] + refoff              # abs fwd genome pos
         qin = (q >= 0) & (q < L) & fc_col
@@ -267,75 +369,121 @@ def finalize_batch(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
         totmatch = matchedM.sum(axis=1)
         evmask = mmM | isD
 
+        # bulk scalar conversion (same technique as the fast path below):
+        # MD events from ONE global nonzero, scalars via tolist, whole-array
+        # latin-1 decodes sliced per record
+        mS_l = m_arr[slow].tolist()
+        coordS_l = coordS.tolist()
+        ciS_l = ciS.tolist()
+        in_contigS_l = in_contigS.tolist()
+        revS_l = revS.tolist()
+        degen_l = degen.tolist()
+        ambS_l = amb_all[slow].tolist()
+        mapqS_l = mapq_all[slow].tolist()
+        nmS_l = nmS.tolist()
+        totS_l = totmatch.tolist()
+        namesS = idx.genome.names
+        m_maxS = max(m_max, 1)
+        opsS_l = ops_f.tolist()
+        tlenS_l = tlenS.tolist()
+        seqS_str = seqS.tobytes().decode("latin-1")
+        xmS_str = xm_mat.tobytes().decode("latin-1")
+        tagsS_l = [_TAG4[v] for v in (blkS * 2 + patS).tolist()]
+        ev_r, ev_c = np.nonzero(evmask)         # row-major: grouped by read
+        ev_c_l = ev_c.tolist()
+        ev_cm_l = cummatch[ev_r, ev_c].tolist()
+        ev_isD_l = isD[ev_r, ev_c].tolist()
+        ev_ch = rq_chr[ev_r, ev_c].tobytes().decode("latin-1")
+        ev_cnt_l = evmask.sum(axis=1).tolist()
+        md_s: list[str] = [""] * ns
+        pe = 0
+        for t in range(ns):
+            cnt = ev_cnt_l[t]
+            if cnt == 0:
+                md_s[t] = str(totS_l[t])
+                continue
+            parts = []
+            prevm = 0
+            u, end = pe, pe + cnt
+            while u < end:
+                cm = ev_cm_l[u]
+                parts.append(str(cm - prevm))
+                prevm = cm
+                if ev_isD_l[u]:
+                    v = u                       # group the full D run
+                    while (v + 1 < end and ev_c_l[v + 1] == ev_c_l[v] + 1
+                           and ev_isD_l[v + 1]):
+                        v += 1
+                    parts.append("^" + ev_ch[u:v + 1])
+                    u = v + 1
+                else:
+                    parts.append(ev_ch[u])
+                    u += 1
+            parts.append(str(totS_l[t] - prevm))
+            md_s[t] = "".join(parts)
+            pe = end
+
+        rep_ambS = cfg.report_ambiguous
+        FLAG_REVS = K.FLAG_REVERSE
         for t, k in enumerate(slow):
             i = rows[k]
-            if degen[t]:
+            if degen_l[t]:
+                d_best, d_second = degen_pair(i)
                 out[i] = finalize_hit(
-                    idx, rc_ref, cfg, np.asarray(reads[i], np.uint8),
-                    quals[i], qnames[i], hits[i][0], hits[i][1],
+                    idx, rc_ref, cfg, arr_all[i, :lens_all[i]],
+                    quals[i], qnames[i], d_best, d_second,
                     flag_extra=flag_extras[i] if flag_extras else 0,
                     mapq_override=(mapq_overrides[i] if mapq_overrides
                                    else None),
                     traceback_pre=(int(degen_ref_start[t]), []))
                 continue
-            if not in_contigS[t]:
+            if not in_contigS_l[t]:
                 continue                            # leaves contig: reject
-            best, second = hits[i]
-            ambiguous = second is not None and second.score == best.score
-            if ambiguous and not cfg.report_ambiguous:
+            if ambS_l[t] and not rep_ambS:
                 continue
-            mapq = 0 if ambiguous else K.mapq_from_gap(
-                best.score, second.score if second else None)
+            mapq = mapqS_l[t]
             if mapq_overrides and mapq_overrides[i] is not None:
                 mapq = mapq_overrides[i]
-            oo = trimmed[t]
-            cut = np.flatnonzero(oo[1:] != oo[:-1]) + 1
-            bounds = np.concatenate(([0], cut, [len(oo)]))
-            cigar = "".join("%d%s" % (be - bb, "\0MDI"[oo[bb]])
-                            for bb, be in zip(bounds[:-1], bounds[1:]))
-            evc = np.flatnonzero(evmask[t])
-            parts = []
-            prevm = 0
-            u = 0
-            while u < len(evc):
-                c = int(evc[u])
-                parts.append(str(int(cummatch[t, c]) - prevm))
-                prevm = int(cummatch[t, c])
-                if isD[t, c]:
-                    v = u                           # group the full D run
-                    while (v + 1 < len(evc) and evc[v + 1] == evc[v] + 1
-                           and isD[t, evc[v + 1]]):
-                        v += 1
-                    parts.append("^" + rq_chr[t, int(evc[u]):
-                                              int(evc[v]) + 1]
-                                 .tobytes().decode())
-                    u = v + 1
+            o_l = opsS_l[t][:tlenS_l[t]]            # short: RLE in python
+            cig_parts = []
+            run_op, run_n = o_l[0], 1
+            for op in o_l[1:]:
+                if op == run_op:
+                    run_n += 1
                 else:
-                    parts.append(chr(rq_chr[t, c]))
-                    u += 1
-            parts.append(str(int(totmatch[t]) - prevm))
-            m = int(m_arr[slow[t]])
+                    cig_parts.append("%d%s" % (run_n, "\0MDI"[run_op]))
+                    run_op, run_n = op, 1
+            cig_parts.append("%d%s" % (run_n, "\0MDI"[run_op]))
+            m = mS_l[t]
             qual = quals[i]
-            xr, xg = K.CONV_TAGS[(int(blkS[t]), int(patS[t]))]
+            rv = revS_l[t]
+            xr, xg = tagsS_l[t]
+            base = t * m_maxS
             out[i] = SamRecord(
-                qname=qnames[i],
-                flag=(K.FLAG_REVERSE if revS[t] else 0)
-                     | (flag_extras[i] if flag_extras else 0),
-                rname=idx.genome.names[int(ciS[t])],
-                pos=int(coordS[t]) + 1,
-                mapq=mapq,
-                cigar=cigar,
-                seq=seqS[t, :m].tobytes().decode(),
-                qual=(qual[::-1] if revS[t] else qual) if qual else "*",
-                nm=int(nmS[t]),
-                md="".join(parts),
-                xm=xm_mat[t, :m].tobytes().decode(),
-                xr=xr, xg=xg,
+                qnames[i],
+                (FLAG_REVS if rv else 0)
+                | (flag_extras[i] if flag_extras else 0),
+                namesS[ciS_l[t]],
+                coordS_l[t] + 1,
+                mapq,
+                "".join(cig_parts),
+                "*", 0, 0,
+                seqS_str[t * m_max:t * m_max + m],
+                (qual[::-1] if rv else qual) if qual else "*",
+                nmS_l[t],
+                md_s[t],
+                xmS_str[base:base + m],
+                xr, xg,
             )
 
     f = np.flatnonzero(fast)
     if len(f) == 0:
         return out
+
+    # bulk per-record scalars for the fast path: the per-record python loop
+    # is the finalize bottleneck (profiled: ~70% of finalize time was int()
+    # casts, per-read flatnonzero, and np-scalar formatting), so every
+    # per-record quantity is converted to python scalars in one C pass
 
     # ---- fast path: ungapped records, fully vectorized ---------------------
     mF = m_arr[f]
@@ -346,16 +494,11 @@ def finalize_batch(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
     coord = fwd_pos - idx.genome.offsets[ci]
     in_contig = (coord >= 0) & (coord + mF <= idx.genome.lengths[ci])
 
-    rev = np.array([K.IS_REVERSE[(int(b), int(p))]
-                    for b, p in zip(blkF, patF)], dtype=bool)
+    rev = _REV4[blkF * 2 + patF]
     ga = blkF == K.BLOCK_RC
 
     # fwd-orientation read and genome context window [pos-2, pos+m+2)
-    fwd_read = np.full((len(f), m_max), K.N_CODE, dtype=np.uint8)
-    for t, k in enumerate(f):
-        i = rows[k]
-        r = np.asarray(reads[i], dtype=np.uint8)
-        fwd_read[t, :len(r)] = dna.revcomp(r) if rev[t] else r
+    fwd_read = _oriented_rows(arr_rows[f], mF, rev, m_max)
     ctxw = _gather_windows(gcodes, fwd_pos - 2, m_max + 4, L)
     gwin = ctxw[:, 2:m_max + 2]             # fwd genome window, width m_max
     inlenF = np.arange(m_max)[None, :] < mF[:, None]
@@ -387,43 +530,70 @@ def finalize_batch(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
 
     seq_arr = _BASE[fwd_read]
 
-    for t, k in enumerate(f):
-        i = rows[k]
-        if not in_contig[t]:
+    # one C-speed pass per quantity (python scalars via tolist; whole-array
+    # latin-1 decodes sliced per record; MD built from ONE global nonzero)
+    m_l = mF.tolist()
+    coord_l = coord.tolist()
+    ci_l = ci.tolist()
+    in_contig_l = in_contig.tolist()
+    rev_l = rev.tolist()
+    amb_l = amb_all[f].tolist()
+    mapq_l = mapq_all[f].tolist()
+    nm_l = mism.sum(axis=1).tolist()
+    names = idx.genome.names
+    seq_str = seq_arr.tobytes().decode("latin-1")
+    xm_str = xm_arr.tobytes().decode("latin-1")
+    tags_l = [_TAG4[v] for v in (blkF * 2 + patF).tolist()]
+    ev_t, ev_q = np.nonzero(mism)              # row-major: grouped by read
+    ev_q_l = ev_q.tolist()
+    ev_ch = _BASE[gwin[ev_t, ev_q]].tobytes().decode("latin-1")
+    md_l: list[str] = [""] * len(f)
+    pos_ev = 0
+    for t in range(len(f)):
+        cnt = nm_l[t]
+        if cnt == 0:
+            md_l[t] = str(m_l[t])
             continue
-        best, second = hits[i]
-        ambiguous = second is not None and second.score == best.score
-        if ambiguous and not cfg.report_ambiguous:
-            continue
-        mapq = 0 if ambiguous else K.mapq_from_gap(
-            best.score, second.score if second else None)
-        if mapq_overrides and mapq_overrides[i] is not None:
-            mapq = mapq_overrides[i]
-        m = int(mF[t])
-        # MD from the few mismatch positions
-        mm = np.flatnonzero(mism[t, :m])
         parts = []
         prev = 0
-        for q in mm:
-            parts.append(str(int(q) - prev))
-            parts.append("ACGTN"[int(gwin[t, q])])
-            prev = int(q) + 1
-        parts.append(str(m - prev))
+        for u in range(pos_ev, pos_ev + cnt):
+            q = ev_q_l[u]
+            parts.append(str(q - prev))
+            parts.append(ev_ch[u])
+            prev = q + 1
+        parts.append(str(m_l[t] - prev))
+        md_l[t] = "".join(parts)
+        pos_ev += cnt
+
+    rep_amb = cfg.report_ambiguous
+    FLAG_REV = K.FLAG_REVERSE
+    for t, k in enumerate(f):
+        i = rows[k]
+        if not in_contig_l[t]:
+            continue
+        if amb_l[t] and not rep_amb:
+            continue
+        mapq = mapq_l[t]
+        if mapq_overrides and mapq_overrides[i] is not None:
+            mapq = mapq_overrides[i]
+        m = m_l[t]
         qual = quals[i]
-        xr, xg = K.CONV_TAGS[(int(blkF[t]), int(patF[t]))]
+        rv = rev_l[t]
+        xr, xg = tags_l[t]
+        base = t * m_max
         out[i] = SamRecord(
-            qname=qnames[i],
-            flag=(K.FLAG_REVERSE if rev[t] else 0)
-                 | (flag_extras[i] if flag_extras else 0),
-            rname=idx.genome.names[int(ci[t])],
-            pos=int(coord[t]) + 1,
-            mapq=mapq,
-            cigar=f"{m}M",
-            seq=seq_arr[t, :m].tobytes().decode(),
-            qual=(qual[::-1] if rev[t] else qual) if qual else "*",
-            nm=int(mism[t, :m].sum()),
-            md="".join(parts),
-            xm=xm_arr[t, :m].tobytes().decode(),
-            xr=xr, xg=xg,
+            qnames[i],
+            (FLAG_REV if rv else 0) | (flag_extras[i] if flag_extras else 0),
+            names[ci_l[t]],
+            coord_l[t] + 1,
+            mapq,
+            f"{m}M",
+            "*", 0, 0,
+            seq_str[base:base + m],
+            (qual[::-1] if rv else qual) if qual else "*",
+            nm_l[t],
+            md_l[t],
+            xm_str[base:base + m],
+            xr, xg,
         )
     return out

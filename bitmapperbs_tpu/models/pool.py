@@ -17,7 +17,8 @@ import numpy as np
 from bitmapperbs_tpu import constants as K
 from bitmapperbs_tpu.config import AlignerConfig
 from bitmapperbs_tpu.io.sam import SamRecord, unmapped_record
-from bitmapperbs_tpu.models.finalize import finalize_batch
+from bitmapperbs_tpu.models.finalize import (finalize_batch,
+                                             finalize_batch_device)
 from bitmapperbs_tpu.oracle.pipeline import Hit, finalize_hit
 from bitmapperbs_tpu.utils import dna
 
@@ -79,12 +80,10 @@ def _finalize_se_task(args):
     # with its own static config); None = the pool's construction-time cfg
     arr, lengths, n, quals, qnames, out_np, cfg = args
     cfg = cfg if cfg is not None else _POOL_CTX["cfg"]
-    chunk = [arr[i, :lengths[i]] for i in range(n)]
-    hits = device_results_to_hits(cfg, idx.genome.length, lengths, out_np)
-    recs = finalize_batch(idx, rc_ref, cfg, chunk, quals, qnames, hits[:n])
+    recs = finalize_batch_device(idx, rc_ref, cfg, arr[:n], lengths[:n],
+                                 quals, qnames, out_np)
     return [rec if rec is not None
-            else unmapped_record(qnames[i], np.asarray(chunk[i], np.uint8),
-                                 quals[i])
+            else unmapped_record(qnames[i], arr[i, :lengths[i]], quals[i])
             for i, rec in enumerate(recs)]
 
 
@@ -144,12 +143,10 @@ def make_finalize_pool(idx: BSIndex, cfg: AlignerConfig, threads: int,
 
 def _finalize_se_task_local(idx, rc_ref, cfg, task):
     arr, lengths, n, quals, qnames, out_np = task
-    chunk = [arr[i, :lengths[i]] for i in range(n)]
-    hits = device_results_to_hits(cfg, idx.genome.length, lengths, out_np)
-    recs = finalize_batch(idx, rc_ref, cfg, chunk, quals, qnames, hits[:n])
+    recs = finalize_batch_device(idx, rc_ref, cfg, arr[:n], lengths[:n],
+                                 quals, qnames, out_np)
     return [rec if rec is not None
-            else unmapped_record(qnames[i], np.asarray(chunk[i], np.uint8),
-                                 quals[i])
+            else unmapped_record(qnames[i], arr[i, :lengths[i]], quals[i])
             for i, rec in enumerate(recs)]
 
 
