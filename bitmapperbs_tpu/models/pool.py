@@ -195,15 +195,17 @@ def _assemble_pe_local(idx, rc_ref, cfg, a1, l1, a2, l2, n, quals, qnames,
 
     # ---- phase 1: branch decisions + optimistic finalize work items -------
     it_reads, it_quals, it_qn, it_hits, it_flags, it_mapq = [], [], [], [], [], []
+    it_src = []   # (mate 0/1, pair index): row source for the padded batch
     plan = []   # per pair: (branch, (item_idx1, item_idx2) | None)
 
-    def add_item(read, qual, qn, best, second, flag, mapq):
+    def add_item(read, qual, qn, best, second, flag, mapq, mate, pi):
         it_reads.append(read)
         it_quals.append(qual)
         it_qn.append(qn)
         it_hits.append((best, second))
         it_flags.append(flag)
         it_mapq.append(mapq)
+        it_src.append((mate, pi))
         return len(it_reads) - 1
 
     for i in range(n):
@@ -217,10 +219,10 @@ def _assemble_pe_local(idx, rc_ref, cfg, a1, l1, a2, l2, n, quals, qnames,
                     K.FLAG_PAIRED | K.FLAG_PROPER | K.FLAG_READ2]
             j1 = add_item(reads1[i], q[0], qn, h1, None,
                           base[0] | (K.FLAG_MATE_REVERSE if rev_of(h2) else 0),
-                          mapq)
+                          mapq, 0, i)
             j2 = add_item(reads2[i], q[1], qn, h2, None,
                           base[1] | (K.FLAG_MATE_REVERSE if rev_of(h1) else 0),
-                          mapq)
+                          mapq, 1, i)
             plan.append((branch, (j1, j2)))
             continue
 
@@ -239,14 +241,27 @@ def _assemble_pe_local(idx, rc_ref, cfg, a1, l1, a2, l2, n, quals, qnames,
                 extra |= K.FLAG_MATE_REVERSE
             if best is not None:
                 js.append(add_item(reads_m, q[mi], qn, best, second,
-                                   extra, None))
+                                   extra, None, mi, i))
             else:
                 js.append(("unmapped", extra, mi))
         plan.append(("disc", tuple(js)))
 
+    # padded batch for the items without per-item row fills: gather rows
+    # from the already-padded a1/a2 by (mate, pair) source
+    n_it = len(it_reads)
+    arr_it = np.empty((n_it, a1.shape[1]), dtype=np.uint8)
+    len_it = np.empty(n_it, dtype=np.int64)
+    if n_it:
+        src = np.array(it_src, dtype=np.int64)
+        for mate, (am, lm) in enumerate(((a1, l1), (a2, l2))):
+            s = src[:, 0] == mate
+            arr_it[s] = am[src[s, 1]]
+            len_it[s] = np.asarray(lm)[src[s, 1]]
+
     recs_flat = finalize_batch(idx, rc_ref, cfg, it_reads, it_quals, it_qn,
                                it_hits, flag_extras=it_flags,
-                               mapq_overrides=it_mapq)
+                               mapq_overrides=it_mapq,
+                               padded=(arr_it, len_it))
 
     # ---- phase 2: assemble per pair, falling back per-pair when needed ----
     out: list[SamRecord] = []
