@@ -17,6 +17,7 @@ import numpy as np
 from bitmapperbs_tpu import constants as K
 from bitmapperbs_tpu.config import AlignerConfig
 from bitmapperbs_tpu.io.sam import SamRecord, unmapped_record
+from bitmapperbs_tpu.models import native_finalize
 from bitmapperbs_tpu.models.finalize import (finalize_batch,
                                              finalize_batch_device)
 from bitmapperbs_tpu.oracle.pipeline import Hit, finalize_hit
@@ -80,8 +81,11 @@ def _finalize_se_task(args):
     # with its own static config); None = the pool's construction-time cfg
     arr, lengths, n, quals, qnames, out_np, cfg = args
     cfg = cfg if cfg is not None else _POOL_CTX["cfg"]
-    recs = finalize_batch_device(idx, rc_ref, cfg, arr[:n], lengths[:n],
-                                 quals, qnames, out_np)
+    recs = native_finalize.finalize_se_native(
+        idx, rc_ref, cfg, arr[:n], lengths[:n], quals, qnames, out_np)
+    if recs is None:   # library not built: numpy spec path
+        recs = finalize_batch_device(idx, rc_ref, cfg, arr[:n], lengths[:n],
+                                     quals, qnames, out_np)
     return [rec if rec is not None
             else unmapped_record(qnames[i], arr[i, :lengths[i]], quals[i])
             for i, rec in enumerate(recs)]
@@ -143,8 +147,11 @@ def make_finalize_pool(idx: BSIndex, cfg: AlignerConfig, threads: int,
 
 def _finalize_se_task_local(idx, rc_ref, cfg, task):
     arr, lengths, n, quals, qnames, out_np = task
-    recs = finalize_batch_device(idx, rc_ref, cfg, arr[:n], lengths[:n],
-                                 quals, qnames, out_np)
+    recs = native_finalize.finalize_se_native(
+        idx, rc_ref, cfg, arr[:n], lengths[:n], quals, qnames, out_np)
+    if recs is None:   # library not built: numpy spec path
+        recs = finalize_batch_device(idx, rc_ref, cfg, arr[:n], lengths[:n],
+                                     quals, qnames, out_np)
     return [rec if rec is not None
             else unmapped_record(qnames[i], arr[i, :lengths[i]], quals[i])
             for i, rec in enumerate(recs)]
