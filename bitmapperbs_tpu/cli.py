@@ -212,42 +212,71 @@ def cmd_resample(args) -> int:
     return 0
 
 
+MAX_READ_LEN = 1024   # short-read aligner (SURVEY.md: WGBS reads 50-300 bp)
+
+
 def _budget_for(rate: float, length: int) -> int:
     """Per-read -e rate resolution: floor(rate*len), clamped to the config
     range (SURVEY.md 2.1 'max errors or error rate')."""
     return min(15, max(1, int(rate * length)))
 
 
-def _map_rate_se(run, cfg, rate, codes, quals, qnames):
-    """Partition a batch by per-read budget and map each group with its own
-    static config; records are reassembled in input order."""
-    budgets = [_budget_for(rate, len(c)) for c in codes]
-    uniq = sorted(set(budgets))
+def _cfg_key(cfg, rate, length: int):
+    """Per-read static-config key (error budget, padded-length bucket).
+
+    Budget: -e rate mode resolves floor(rate*len) per read.  Bucket: grows
+    in 32-wide steps beyond the base bucket so a longer read later in the
+    file maps in its own group instead of aborting the run; SURVEY.md 5.7
+    'bucketing + masked batching'."""
+    if length > MAX_READ_LEN:
+        raise SystemExit(f"error: read of {length} bp exceeds the "
+                         f"{MAX_READ_LEN} bp short-read limit")
+    b = _budget_for(rate, length) if rate is not None else cfg.max_errors
+    bk = max(cfg.read_len_bucket, -(-length // 32) * 32)
+    return (b, bk)
+
+
+def _map_grouped_se(run, cfg, rate, codes, quals, qnames):
+    """Partition a batch by per-read (budget, bucket) and map each group
+    with its own static config; records are reassembled in input order."""
+    keys = [_cfg_key(cfg, rate, len(c)) for c in codes]
+    uniq = sorted(set(keys))
     if len(uniq) == 1:
-        return run(cfg.replace(max_errors=uniq[0]), codes, quals, qnames)
+        b, bk = uniq[0]
+        return run(cfg.replace(max_errors=b, read_len_bucket=bk),
+                   codes, quals, qnames)
     recs = [None] * len(codes)
-    for b in uniq:
-        sel = [i for i, v in enumerate(budgets) if v == b]
-        sub = run(cfg.replace(max_errors=b), [codes[i] for i in sel],
+    for key in uniq:
+        b, bk = key
+        sel = [i for i, v in enumerate(keys) if v == key]
+        sub = run(cfg.replace(max_errors=b, read_len_bucket=bk),
+                  [codes[i] for i in sel],
                   [quals[i] for i in sel], [qnames[i] for i in sel])
         for i, r in zip(sel, sub):
             recs[i] = r
     return recs
 
 
-def _map_rate_pe(run, cfg, rate, prs, quals, qn):
-    """PE analogue of _map_rate_se: a pair's budget is the max of its two
-    mates' per-read budgets (equal-length mates -- the norm -- resolve
-    exactly per read); two records per pair, input order preserved."""
-    budgets = [max(_budget_for(rate, len(a)), _budget_for(rate, len(b)))
-               for a, b in prs]
-    uniq = sorted(set(budgets))
+def _map_grouped_pe(run, cfg, rate, prs, quals, qn):
+    """PE analogue of _map_grouped_se: a pair's key is the max of its two
+    mates' (equal-length mates -- the norm -- resolve exactly per read);
+    two records per pair, input order preserved."""
+    keys = []
+    for a, b in prs:
+        ka = _cfg_key(cfg, rate, len(a))
+        kb = _cfg_key(cfg, rate, len(b))
+        keys.append((max(ka[0], kb[0]), max(ka[1], kb[1])))
+    uniq = sorted(set(keys))
     if len(uniq) == 1:
-        return run(cfg.replace(max_errors=uniq[0]), prs, quals, qn)
+        b, bk = uniq[0]
+        return run(cfg.replace(max_errors=b, read_len_bucket=bk),
+                   prs, quals, qn)
     recs = [None] * (2 * len(prs))
-    for b in uniq:
-        sel = [i for i, v in enumerate(budgets) if v == b]
-        sub = run(cfg.replace(max_errors=b), [prs[i] for i in sel],
+    for key in uniq:
+        b, bk = key
+        sel = [i for i, v in enumerate(keys) if v == key]
+        sub = run(cfg.replace(max_errors=b, read_len_bucket=bk),
+                  [prs[i] for i in sel],
                   [quals[i] for i in sel], [qn[i] for i in sel])
         for j, i in enumerate(sel):
             recs[2 * i], recs[2 * i + 1] = sub[2 * j], sub[2 * j + 1]
@@ -292,8 +321,8 @@ def cmd_search(args) -> int:
     if args.read_bucket is None:
         # size the padded-length bucket from the head of the input: mapping
         # cost is ~linear in the bucket, so a 100 bp library should not pay
-        # for a 160-wide batch.  A longer read later in the file fails with
-        # a clear message to pass --read-bucket explicitly.
+        # for a 160-wide batch.  A longer read later in the file maps in a
+        # grown per-batch bucket group (_cfg_key) instead of aborting.
         lens = []
         for p in ((args.seq1, args.seq2) if args.pe else (args.seq,)):
             head = next(iter(FastqReader(p, batch_size=1024)), None)
@@ -398,18 +427,19 @@ def cmd_search(args) -> int:
         else:
             dix = upload_index(idx)
 
-    # -e rate mode: one multi-chip mapper set per distinct budget, sharing
-    # the base mappers' mesh + uploaded index
-    _budget_mappers = {}
+    # per-group mapper sets (-e rate budgets / grown length buckets),
+    # sharing the base mappers' mesh + uploaded index
+    _group_mappers = {}
 
     def mappers_for(c):
-        if mappers is None or c.max_errors == cfg.max_errors:
+        key = (c.max_errors, c.read_len_bucket)
+        if mappers is None or key == (cfg.max_errors, cfg.read_len_bucket):
             return mappers
-        if c.max_errors not in _budget_mappers:
+        if key not in _group_mappers:
             from bitmapperbs_tpu.parallel.shard import make_cli_mappers
-            _budget_mappers[c.max_errors] = make_cli_mappers(
+            _group_mappers[key] = make_cli_mappers(
                 idx, c, shard_index=args.shard_index, reuse=mappers)
-        return _budget_mappers[c.max_errors]
+        return _group_mappers[key]
 
     bam = args.bam or args.output.endswith(".bam")
     if bam and args.output == "-":
@@ -507,11 +537,8 @@ def cmd_search(args) -> int:
                 run = lambda c, cs, qs, ns: map_batch_tpu(
                     idx, dix, c, cs, qs, ns, stats=stats, pool=pool,
                     mappers=mappers_for(c))
-            if error_rate is None:
-                recs = run(cfg, codes, quals, qnames)
-            else:
-                recs = _map_rate_se(run, cfg, error_rate, codes, quals,
-                                    qnames)
+            recs = _map_grouped_se(run, cfg, error_rate, codes, quals,
+                                   qnames)
             emit(recs, codes, qnames, quals)
             out_fh.flush()
             save_cursor(*last[0])
@@ -563,10 +590,7 @@ def cmd_search(args) -> int:
                 run = lambda c, ps, qs, ns: map_batch_pe_tpu(
                     idx, dix, c, ps, qs, ns, stats=stats, pool=pool,
                     mappers=mappers_for(c))
-            if error_rate is None:
-                recs = run(cfg, prs, quals, qn)
-            else:
-                recs = _map_rate_pe(run, cfg, error_rate, prs, quals, qn)
+            recs = _map_grouped_pe(run, cfg, error_rate, prs, quals, qn)
             flat_reads = [r for p in prs for r in p]
             flat_qn = [q_ for q_ in qn for _ in (0, 1)]
             flat_q = [q for p in quals for q in p]

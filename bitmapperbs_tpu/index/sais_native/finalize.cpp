@@ -95,6 +95,8 @@ int btbs_finalize_se(
     const int64_t* offsets, const int64_t* clens, int64_t n_contigs,
     int32_t e, int32_t indels, int32_t report_ambiguous,
     const int32_t* mq_tab /* gap 0..3 -> mapq, [4] = no-second/cap */,
+    const int32_t* flag_extra /* nullable: OR'd into FLAG */,
+    const int32_t* mq_over /* nullable: >=0 replaces MAPQ */,
     int32_t* out_kind, int32_t* out_flag, int32_t* out_ci, int64_t* out_pos,
     int32_t* out_mapq, int32_t* out_nm, int32_t* out_rev, int32_t* out_tag,
     char* sbuf, int64_t sbuf_cap, int64_t* sbuf_used, int64_t* str_off)
@@ -363,8 +365,9 @@ int btbs_finalize_se(
             md_len += fmt_int(md + md_len, cummatch - prevm);
         }
 
+        if (mq_over && mq_over[i] >= 0) mapq = mq_over[i];
         out_kind[i] = 1;
-        out_flag[i] = rev ? 0x10 : 0;
+        out_flag[i] = (rev ? 0x10 : 0) | (flag_extra ? flag_extra[i] : 0);
         out_ci[i] = (int32_t)ci;
         out_pos[i] = coord + 1;
         out_mapq[i] = mapq;
@@ -451,6 +454,7 @@ int main() {
     int rcde = btbs_finalize_se(
         arr.data(), bucket, len.data(), n, bs.data(), bp.data(), ba.data(),
         ss.data(), g.data(), L, offs, cls, 2, e, 1, 1, mq,
+        nullptr, nullptr,
         kind.data(), flag.data(), ci.data(), pos.data(), mapq.data(),
         nm.data(), rev.data(), tag.data(), sb.data(),
         (int64_t)sb.size(), &used, soff.data());

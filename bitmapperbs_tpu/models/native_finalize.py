@@ -48,6 +48,7 @@ def _lib():
         _u8p, ctypes.c_int64,
         _i64p, _i64p, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _i32p,
+        _i32p, _i32p,
         _i32p, _i32p, _i32p, _i64p, _i32p, _i32p, _i32p, _i32p,
         ctypes.c_char_p, ctypes.c_int64, _i64p, _i64p,
     ]
@@ -66,14 +67,25 @@ def _p64(a):
 
 
 def finalize_se_native(idx, rc_ref, cfg, arr, lengths, quals, qnames,
-                       out_np):
+                       out_np, flag_extras=None, mapq_overrides=None):
     """Native equivalent of finalize_batch_device; returns list of
     SamRecord | None per read, or None when the native library is absent
-    (caller falls back to the numpy path)."""
+    (caller falls back to the numpy path).  flag_extras / mapq_overrides
+    mirror finalize_batch's (the PE assembler's per-item FLAG bits and
+    pair-level MAPQ)."""
     if not available():
         return None
     lib = _lib()
     n = len(qnames)
+    fx = mq = None
+    fx_p = mq_p = ctypes.cast(None, _i32p)
+    if flag_extras is not None:
+        fx = np.ascontiguousarray(flag_extras[:n], dtype=np.int32)
+        fx_p = fx.ctypes.data_as(_i32p)
+    if mapq_overrides is not None:
+        mq = np.array([-1 if v is None else v
+                       for v in mapq_overrides[:n]], dtype=np.int32)
+        mq_p = mq.ctypes.data_as(_i32p)
     arr = np.ascontiguousarray(arr[:n], dtype=np.uint8)
     lens = np.ascontiguousarray(lengths[:n], dtype=np.int64)
     bs = np.ascontiguousarray(out_np["best_score"][:n], dtype=np.int64)
@@ -108,6 +120,7 @@ def finalize_se_native(idx, rc_ref, cfg, arr, lengths, quals, qnames,
             _p64(offs), _p64(clens), len(idx.genome.names),
             cfg.max_errors, int(cfg.indels), int(cfg.report_ambiguous),
             _MQ_TAB.ctypes.data_as(_i32p),
+            fx_p, mq_p,
             kind.ctypes.data_as(_i32p),
             flag.ctypes.data_as(_i32p), ci.ctypes.data_as(_i32p),
             _p64(pos), mapq.ctypes.data_as(_i32p), nm.ctypes.data_as(_i32p),
@@ -146,6 +159,9 @@ def finalize_se_native(idx, rc_ref, cfg, arr, lengths, quals, qnames,
             out[i] = finalize_hit(
                 idx, rc_ref, cfg, arr[i, :lens[i]], quals[i], qnames[i],
                 Hit(int(bs[i]), fwd, b, p, a), second,
+                flag_extra=flag_extras[i] if flag_extras else 0,
+                mapq_override=(mapq_overrides[i] if mapq_overrides
+                               else None),
                 traceback_pre=(pos_l[i], []))
             continue
         o = 8 * i

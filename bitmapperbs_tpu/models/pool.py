@@ -265,10 +265,29 @@ def _assemble_pe_local(idx, rc_ref, cfg, a1, l1, a2, l2, n, quals, qnames,
             arr_it[s] = am[src[s, 1]]
             len_it[s] = np.asarray(lm)[src[s, 1]]
 
-    recs_flat = finalize_batch(idx, rc_ref, cfg, it_reads, it_quals, it_qn,
-                               it_hits, flag_extras=it_flags,
-                               mapq_overrides=it_mapq,
-                               padded=(arr_it, len_it))
+    recs_flat = None
+    if native_finalize.available() and n_it:
+        # native path wants device-output-shaped arrays; rebuild them from
+        # the decided Hits (second=None encodes as INF)
+        outs = {
+            "best_score": np.array([h.score for h, _ in it_hits],
+                                   dtype=np.int64),
+            "best_bp": np.array([h.block * 2 + h.pat for h, _ in it_hits],
+                                dtype=np.int64),
+            "best_anchor": np.array([h.anchor for h, _ in it_hits],
+                                    dtype=np.int64),
+            "second_score": np.array(
+                [s.score if s is not None else K.INF_SCORE
+                 for _, s in it_hits], dtype=np.int64),
+        }
+        recs_flat = native_finalize.finalize_se_native(
+            idx, rc_ref, cfg, arr_it, len_it, it_quals, it_qn, outs,
+            flag_extras=it_flags, mapq_overrides=it_mapq)
+    if recs_flat is None:
+        recs_flat = finalize_batch(idx, rc_ref, cfg, it_reads, it_quals,
+                                   it_qn, it_hits, flag_extras=it_flags,
+                                   mapq_overrides=it_mapq,
+                                   padded=(arr_it, len_it))
 
     # ---- phase 2: assemble per pair, falling back per-pair when needed ----
     out: list[SamRecord] = []

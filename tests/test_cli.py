@@ -232,3 +232,36 @@ def test_error_rate_per_read_budgets(tmp_path, rng):
                  "--read-bucket", "128", "-o", str(out_dev),
                  "-e", "0.035"]) == 0
     assert body(out_dev) == got
+
+
+def test_auto_bucket_growth_mixed_lengths(tmp_path, rng):
+    """A read longer than the sized bucket maps in its own grown bucket
+    group instead of aborting the run; records are byte-identical to a run
+    whose --read-bucket covers every read up front."""
+    from bitmapperbs_tpu.index.build import build_index, save_index
+    from bitmapperbs_tpu.utils.simulate import simulate_reads
+
+    ref = tmp_path / "ref.fa"
+    ref.write_text(random_genome_fasta(rng, contigs=(5000,)))
+    idx = build_index(str(ref))
+    save_index(idx, str(ref) + ".btidx")
+    short = simulate_reads(idx.genome, 8, read_len=50, seed=3, sub_rate=0.02)
+    long_ = simulate_reads(idx.genome, 4, read_len=150, seed=4, sub_rate=0.02)
+    reads = [s.codes for s in short] + [s.codes for s in long_]
+    names = [f"s{i}" for i in range(8)] + [f"l{i}" for i in range(4)]
+    fq = tmp_path / "mix.fq"
+    write_fastq(str(fq), reads, names, ["I" * len(r) for r in reads])
+
+    def body(p):
+        return [l for l in open(p).read().splitlines()
+                if not l.startswith("@")]
+
+    outs = []
+    for tag, bucket in (("small", "64"), ("big", "160")):
+        out = tmp_path / f"{tag}.sam"
+        assert main(["search", str(ref), "--seq", str(fq), "-o", str(out),
+                     "--platform", "cpu", "--single-device",
+                     "--batch-size", "12", "--read-bucket", bucket]) == 0
+        outs.append(body(out))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 12
