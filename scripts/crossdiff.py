@@ -78,6 +78,10 @@ def main():
     ap.add_argument("--read-len", type=int, default=90)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--pe", action="store_true")
+    ap.add_argument("--flat-cap", type=int, default=0,
+                    help="override the adaptive flat cap (small values make "
+                         "the gdrop->dense fallback fire, exercising the "
+                         "host fallback + overflow accounting end to end)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon site hook "
                          "overrides JAX_PLATFORMS, so an env var can't)")
@@ -106,7 +110,8 @@ def main():
     dix = upload_index(idx)
     B = args.batch
     cfg = AlignerConfig(max_errors=4, indels=True, read_len_bucket=96,
-                        batch_size=B)
+                        batch_size=B,
+                        locate_flat_cap=args.flat_cap or 0)
     keys = ("best_score", "best_bp", "best_anchor", "second_score",
             "overflow", "gdrop")
 
