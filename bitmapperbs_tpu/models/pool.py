@@ -166,16 +166,31 @@ def _assemble_pe_task(args):
     return _assemble_pe_local(idx, rc_ref, cfg, *rest)
 
 
+def _cigar_ref_span(cig: str) -> int:
+    """Reference bases consumed by a CIGAR (M/D ops).  The ungapped "NNM"
+    form -- the overwhelming majority -- parses without the regex that
+    dominated the PE patch stage."""
+    if cig[-1] == "M" and cig[:-1].isdigit():
+        return int(cig[:-1])
+    span = 0
+    v = 0
+    for ch in cig:
+        if "0" <= ch <= "9":
+            v = v * 10 + ord(ch) - 48
+        else:
+            if ch in "MD":
+                span += v
+            v = 0
+    return span
+
+
 def _patch_pair_fields(r1, r2, proper: bool):
     """opaired._emit_pair's tail: RNEXT/PNEXT(/TLEN when proper)."""
-    import re as _re
     if r1.rname == r2.rname:
         r1.rnext = r2.rnext = "="
         if proper:
             left, right = (r1, r2) if r1.pos <= r2.pos else (r2, r1)
-            span = sum(int(ln) for ln, op in
-                       _re.findall(r"(\d+)([MID])", right.cigar) if op in "MD")
-            tlen = right.pos + span - left.pos
+            tlen = right.pos + _cigar_ref_span(right.cigar) - left.pos
             left.tlen, right.tlen = tlen, -tlen
     else:
         r1.rnext, r2.rnext = r2.rname, r1.rname
