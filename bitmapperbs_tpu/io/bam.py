@@ -8,8 +8,6 @@ import re
 import struct
 import zlib
 
-import numpy as np
-
 from bitmapperbs_tpu.io.sam import SamRecord
 
 _BGZF_EOF = bytes.fromhex(
@@ -23,12 +21,16 @@ _CIGAR_OP = {"M": 0, "I": 1, "D": 2, "N": 3, "S": 4, "H": 5, "P": 6,
 
 # byte-translation tables: the per-character nibble/qual loops dominated
 # the encoder profile (~90 dict lookups / ord() calls per record)
-_NIB_TAB = bytes(_SEQ_NIBBLE.get(chr(c), 15) for c in range(256))
 # chars below '!' (ord 33) are invalid phred33; map them to a 0xFE sentinel
 # so the encoder can reject malformed quality strings with one memchr scan
 # instead of a per-character python loop
 _QUAL_TAB = bytes(c - 33 if c >= 33 else 0xFE for c in range(256))
 _CIGAR_ONE = re.compile(r"^(\d+)M$")
+# nibble packing at C speed: translate codes to hex digits, then
+# bytes.fromhex packs each digit pair into (hi << 4) | lo
+_NIB_HEX = bytes(b"0123456789abcdef"[_SEQ_NIBBLE.get(chr(c), 15)]
+                 for c in range(256))
+_CIG1_CACHE: dict[int, bytes] = {}
 
 
 def _bgzf_block(data: bytes) -> bytes:
@@ -101,22 +103,31 @@ def _encode_record(rec: SamRecord, ref_ids: dict[str, int]) -> bytes:
     ref_id = ref_ids.get(rec.rname, -1)
     pos = rec.pos - 1
     name = rec.qname.encode() + b"\0"
-    one = _CIGAR_ONE.match(rec.cigar)        # ungapped fast path: "90M"
-    if one:
-        cigar_ops = [(one.group(1), "M")]
-    elif rec.cigar != "*":
-        cigar_ops = re.findall(r"(\d+)([MIDNSHP=X])", rec.cigar)
+    cig_txt = rec.cigar
+    if cig_txt[-1] == "M" and cig_txt[:-1].isdigit():  # ungapped: "90M"
+        n_ops = 1
+        span = int(cig_txt[:-1])
+        cigar = _CIG1_CACHE.get(span)
+        if cigar is None:
+            cigar = _CIG1_CACHE[span] = struct.pack("<I", span << 4)
+        if len(_CIG1_CACHE) > 4096:
+            _CIG1_CACHE.clear()
+    elif cig_txt != "*":
+        cigar_ops = re.findall(r"(\d+)([MIDNSHP=X])", cig_txt)
+        n_ops = len(cigar_ops)
+        span = sum(int(n) for n, op in cigar_ops if op in "MDN=X")
+        cigar = b"".join(struct.pack("<I", (int(n) << 4) | _CIGAR_OP[op])
+                         for n, op in cigar_ops)
     else:
-        cigar_ops = []
-    cigar = b"".join(struct.pack("<I", (int(n) << 4) | _CIGAR_OP[op])
-                     for n, op in cigar_ops)
+        n_ops = 0
+        span = 0
+        cigar = b""
     seq = rec.seq if rec.seq != "*" else ""
     l_seq = len(seq)
-    nib = seq.encode().translate(_NIB_TAB)
+    hx = seq.encode().translate(_NIB_HEX)
     if l_seq % 2:
-        nib += b"\0"
-    na = np.frombuffer(nib, dtype=np.uint8)
-    packed = ((na[0::2] << 4) | na[1::2]).tobytes()
+        hx += b"0"            # pad nibble 0 ('='), matching htslib
+    packed = bytes.fromhex(hx.decode("ascii"))
     if rec.qual in ("*", ""):
         qual = b"\xff" * l_seq
     elif len(rec.qual) != l_seq:
@@ -131,7 +142,7 @@ def _encode_record(rec: SamRecord, ref_ids: dict[str, int]) -> bytes:
             raise ValueError(
                 f"invalid quality string for read {rec.qname!r}: contains "
                 f"a character below '!' (not phred33)")
-    span = sum(int(n) for n, op in cigar_ops if op in "MDN=X") or 1
+    span = span or 1
     nref_id = ref_ids.get(rec.rnext, ref_id if rec.rnext == "=" else -1)
     tags = bytearray()
     if rec.nm is not None:
@@ -145,7 +156,7 @@ def _encode_record(rec: SamRecord, ref_ids: dict[str, int]) -> bytes:
         ref_id, pos if ref_id >= 0 else -1,
         len(name), rec.mapq,
         reg2bin(pos, pos + span) if ref_id >= 0 else 4680,
-        len(cigar_ops), rec.flag, l_seq,
+        n_ops, rec.flag, l_seq,
         nref_id, rec.pnext - 1, rec.tlen,
     ) + name + cigar + packed + qual + bytes(tags)
     return struct.pack("<i", len(body)) + body
