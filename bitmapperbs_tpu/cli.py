@@ -92,6 +92,18 @@ def build_parser():
                     help="sensitivity preset: fewer candidates")
     se.add_argument("--sensitive", action="store_true",
                     help="sensitivity preset: more candidates")
+    se.add_argument("--seed-ext", type=int, default=None, metavar="N",
+                    help="adaptive seed extension: a heavy seed grows left "
+                         "by up to N chars until its interval is small "
+                         "(default: auto -- 20 for genomes over 512 Mbp, "
+                         "else off; 0 disables)")
+    se.add_argument("--seed-ext-occ", type=int, default=4, metavar="T",
+                    help="extension stops once a seed's interval holds <= T "
+                         "occurrences (with --seed-ext)")
+    se.add_argument("--max-candidates", type=int, default=None, metavar="K",
+                    help="verified anchors per read per (pattern, block) "
+                         "(default: auto -- 128 for genomes over 512 Mbp, "
+                         "else 64)")
     se.add_argument("-t", "--threads", type=int, default=1,
                     help="host IO worker threads (device does the mapping)")
     se.add_argument("--batch-size", type=int, default=4096)
@@ -191,7 +203,48 @@ def make_config(args):
     if args.sensitive:
         cfg = cfg.replace(max_seed_occ=512, locate_budget=512,
                           max_candidates=128)
+    if getattr(args, "seed_ext", None) is not None:
+        cfg = cfg.replace(seed_ext_max=args.seed_ext,
+                          seed_ext_occ=args.seed_ext_occ)
+    if getattr(args, "max_candidates", None) is not None:
+        cfg = cfg.replace(max_candidates=args.max_candidates)
     cfg.validate()
+    return cfg
+
+
+def autotune_for_genome(cfg, args, genome_bp: int):
+    """Genome-size config auto-tune (SURVEY.md C9).  At Gbp scale the
+    3-letter alphabet makes T-rich seeds heavy-tailed: measured at 3.08 Gbp,
+    mean candidate occupancy is ~259 entries/read and the default caps
+    collapse recall to 0.59.  Adaptive seed extension (grow heavy seeds
+    until <= 4 occurrences, <= 20 chars) cuts occupancy to ~78 and, with
+    max_candidates 128, restores recall to 0.989 -- above even the
+    cap-512 dense sweep (0.988) at a third of the candidate volume
+    (PERF.md round-3 3 Gbp study).  Explicit flags always win."""
+    if genome_bp <= 512_000_000:
+        return cfg
+    tuned = []
+    if getattr(args, "seed_ext", None) is None and cfg.seed_ext_max == 0:
+        cfg = cfg.replace(seed_ext_max=20,
+                          seed_ext_occ=getattr(args, "seed_ext_occ", 4))
+        tuned.append(f"seed-ext {cfg.seed_ext_max} "
+                     f"(occ<={cfg.seed_ext_occ})")
+    if (getattr(args, "max_candidates", None) is None
+            and not getattr(args, "fast", False)
+            and not getattr(args, "sensitive", False)):
+        cfg = cfg.replace(max_candidates=128)
+        tuned.append("max-candidates 128")
+    if (cfg.non_directional and cfg.locate_flat_cap == 0
+            and getattr(args, "flat_chunks", None) is None):
+        # 4 frames carry ~2x the SE occupancy (~156/read measured at
+        # 3.08 Gbp with extension): above flat_cap_max=128, so PBAT would
+        # gdrop ~22% of reads into dense reruns; 192 slots in 3
+        # occupancy-bounded chunks measured gdrop-free at recall 0.9893
+        cfg = cfg.replace(locate_flat_cap=192, flat_chunks=3)
+        tuned.append("flat-cap 192 (3 chunks)")
+    if tuned:
+        sys.stderr.write(f"[bitmapperbs_tpu] {genome_bp/1e9:.2f} Gbp genome:"
+                         f" auto-tuned {', '.join(tuned)}\n")
     return cfg
 
 
@@ -350,6 +403,7 @@ def cmd_search(args) -> int:
                          f"{args.max_errors} at {len(first.codes[0])} bp)\n")
     cfg = make_config(args)
     idx = load_index(prefix)
+    cfg = autotune_for_genome(cfg, args, int(sum(idx.genome.lengths)))
 
     # finalize worker pool (-t): spawned before any jax device op; workers
     # are numpy-only and share the genome via memmap (models/pool.py)

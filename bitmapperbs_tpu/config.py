@@ -24,6 +24,18 @@ class AlignerConfig:
     max_seed_occ: int = 128      # seed interval wider than this is skipped
     locate_budget: int = 256     # SA entries located per read per (pat,block)
     max_candidates: int = 64     # verified anchors per read per (pat,block)
+    # Adaptive seed extension (SURVEY.md C9 "extend until rare"): a seed
+    # whose interval holds more than seed_ext_occ occurrences keeps
+    # prepending read characters left of its pigeonhole slice -- up to
+    # seed_ext_max of them, stopping at the read start or when one more
+    # character would empty the interval (the seed keeps its last nonempty
+    # interval and stops).  Essential at Gbp scale where the 3-letter
+    # alphabet makes T-rich 18-mers heavy-tailed: without it mean occupancy
+    # ~259 entries/read at 3.08 Gbp floods every downstream cap (measured:
+    # recall 0.59 at the default caps).  0 = off (<= 100 Mbp genomes are
+    # cheap enough to just locate/verify the junk).
+    seed_ext_max: int = 0
+    seed_ext_occ: int = 16
 
     # --- library protocol --------------------------------------------------
     non_directional: bool = False  # --pbat / non-directional: add PAT_GA
@@ -109,3 +121,6 @@ class AlignerConfig:
             raise ValueError("read_len_bucket must be a multiple of 32")
         if self.locate_flat_cap < 0:
             raise ValueError("locate_flat_cap must be >= 0 (0 = auto)")
+        if self.seed_ext_max < 0 or self.seed_ext_occ < 1:
+            raise ValueError("seed_ext_max must be >= 0 and "
+                             "seed_ext_occ >= 1")

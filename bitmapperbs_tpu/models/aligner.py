@@ -99,6 +99,12 @@ def _seed_stage(dix: DeviceIndex, cfg: AlignerConfig, reads, lengths,
             idx_e[..., None], axis=-1)[..., 0]
     sp, ep = fm.search_patterns(dix, block_l, pat_l, starts_l, ends_l,
                                 max_len=max_seed_len, end_kmers=end_kmers)
+    if cfg.seed_ext_max:
+        # adaptive extension (C9): heavy seeds grow leftward until rare;
+        # starts move with them so anchors (tp - start) stay exact
+        sp, ep, starts_l = fm.extend_seeds(
+            dix, block_l, pat_l, starts_l, sp, ep,
+            cfg.seed_ext_max, cfg.seed_ext_occ)
     return frame_reads, blocks, bp_codes, starts_l, sp, ep
 
 

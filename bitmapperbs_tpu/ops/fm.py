@@ -202,6 +202,45 @@ def locate(dix: DeviceIndex, block, i, valid):
     return sample + steps
 
 
+def extend_seeds(dix: DeviceIndex, block, patterns, starts, sp, ep,
+                 ext_max: int, ext_occ: int):
+    """Adaptive seed extension, lockstep over lanes (SURVEY.md C9 "extend
+    each seed backward until occurrence count <= threshold").
+
+    Lanes whose interval holds more than ext_occ rows keep prepending the
+    read character left of their current start -- up to ext_max characters,
+    stopping at the read start or when a step would EMPTY the interval (the
+    lane keeps its last nonempty interval and goes dead: characters are
+    consecutive, so retrying with the next one would search a gapped
+    pattern).  Each step is the same one stacked occ gather as a main
+    search step; satisfied lanes idle masked.  Returns (sp, ep, starts) --
+    starts move left by the number of characters actually consumed, so the
+    anchor projection (tp - start) stays exact.  Mirrors the oracle loop in
+    oracle/pipeline.collect_candidates; parity tested.
+    """
+    m = patterns.shape[-1]
+    # all potentially-consumed characters in one gather (in-loop
+    # take_along_axis costs a full per-lane gather per step)
+    ts = jnp.arange(ext_max, dtype=jnp.int32)
+    j = jnp.clip(starts[..., None] - 1 - ts, 0, m - 1)
+    chars = jnp.take_along_axis(patterns, j, axis=-1)
+
+    def step(t, state):
+        sp, ep, st, dead = state
+        active = ~dead & (ep - sp > U32(ext_occ)) & (st > 0)
+        c = jax.lax.dynamic_index_in_dim(chars, t, axis=-1, keepdims=False)
+        nsp, nep = extend_backward(dix, block, sp, ep, c.astype(U32))
+        empty = nep <= nsp
+        take = active & ~empty
+        return (jnp.where(take, nsp, sp), jnp.where(take, nep, ep),
+                jnp.where(take, st - 1, st), dead | (active & empty))
+
+    sp, ep, starts, _ = jax.lax.fori_loop(
+        0, ext_max, step,
+        (sp, ep, starts, jnp.zeros(sp.shape, dtype=jnp.bool_)))
+    return sp, ep, starts
+
+
 def rolling_kmers(patterns, k: int):
     """Base-3 rolling k-mer codes over converted patterns.
 

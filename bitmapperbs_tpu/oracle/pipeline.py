@@ -70,6 +70,24 @@ def collect_candidates(idx: BSIndex, cfg: AlignerConfig, pat: np.ndarray,
     seeds = []
     for si, (start, end) in enumerate(seed_slices(m, cfg.num_seeds)):
         sp, ep = packed.count(block, pat[start:end])
+        # adaptive extension (C9 "extend until rare", frozen semantics
+        # mirrored by ops/fm.extend_seeds): a heavy seed keeps prepending
+        # the read character left of its start, stopping at the read start,
+        # seed_ext_max characters, or when one more character would EMPTY
+        # the interval (keep the last nonempty interval and stop -- the
+        # characters must stay consecutive)
+        if cfg.seed_ext_max:
+            k = 0
+            while (ep - sp > cfg.seed_ext_occ and start > 0
+                   and k < cfg.seed_ext_max):
+                nsp, nep = packed.extend_backward(
+                    block, np.uint64(sp), np.uint64(ep),
+                    int(pat[start - 1]))
+                if nsp >= nep:
+                    break
+                sp, ep = int(nsp), int(nep)
+                start -= 1
+                k += 1
         cnt = ep - sp
         if cnt == 0:
             continue

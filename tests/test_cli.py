@@ -265,3 +265,31 @@ def test_auto_bucket_growth_mixed_lengths(tmp_path, rng):
         outs.append(body(out))
     assert outs[0] == outs[1]
     assert len(outs[0]) == 12
+
+
+def test_autotune_for_genome():
+    """Gbp-genome auto-tune: extension + Kc128 (+ PBAT flat cap) kick in
+    above 512 Mbp unless the user passed explicit flags."""
+    import argparse
+
+    from bitmapperbs_tpu.cli import autotune_for_genome
+    from bitmapperbs_tpu.config import AlignerConfig
+
+    def ns(**kw):
+        base = dict(seed_ext=None, seed_ext_occ=4, max_candidates=None,
+                    fast=False, sensitive=False, flat_chunks=None)
+        base.update(kw)
+        return argparse.Namespace(**base)
+    small = autotune_for_genome(AlignerConfig(), ns(), 100_000_000)
+    assert small.seed_ext_max == 0 and small.max_candidates == 64
+    big = autotune_for_genome(AlignerConfig(), ns(), 3_082_006_400)
+    assert big.seed_ext_max == 20 and big.seed_ext_occ == 4
+    assert big.max_candidates == 128
+    pbat = autotune_for_genome(AlignerConfig(non_directional=True), ns(),
+                               3_082_006_400)
+    assert pbat.locate_flat_cap == 192 and pbat.flat_chunks == 3
+    # explicit flags win
+    expl = autotune_for_genome(AlignerConfig(seed_ext_max=8),
+                               ns(seed_ext=8, max_candidates=96),
+                               3_082_006_400)
+    assert expl.seed_ext_max == 8 and expl.max_candidates == 64

