@@ -157,6 +157,11 @@ def main():
             arr_b, len_b = prepare_batch([s.codes for s in sims_b], 96, 4096)
             arr_b, len_b = jnp.asarray(arr_b), jnp.asarray(len_b)
             cfg_b = cfg.replace(batch_size=4096)
+            if sum(big.genome.lengths) > 512_000_000:
+                # Gbp auto-tune (cli.autotune_for_genome / PERF.md round-3
+                # study): adaptive seed extension + Kc128
+                cfg_b = cfg_b.replace(seed_ext_max=20, seed_ext_occ=4,
+                                      max_candidates=128)
             jax.block_until_ready(map_batch_device(dix_b, cfg_b, arr_b,
                                                    len_b))
             t0 = time.perf_counter()

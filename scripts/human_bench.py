@@ -65,8 +65,11 @@ def main():
     L = idx.genome.length
 
     def se_run(batch, sims, label):
+        # round-3 Gbp auto-tune (cli.autotune_for_genome; PERF.md study):
+        # adaptive seed extension + Kc128
         cfg = AlignerConfig(max_errors=4, indels=True, read_len_bucket=96,
-                            batch_size=batch)
+                            batch_size=batch, seed_ext_max=20,
+                            seed_ext_occ=4, max_candidates=128)
         arr, lengths = prepare_batch([s.codes for s in sims], 96, batch)
         arr, lengths = jnp.asarray(arr), jnp.asarray(lengths)
         out = map_batch_device(dix, cfg, arr, lengths)
@@ -108,7 +111,8 @@ def main():
         pe_b = 4096
         cfg = AlignerConfig(max_errors=4, indels=True, read_len_bucket=96,
                             batch_size=pe_b, paired=True, min_insert=0,
-                            max_insert=500)
+                            max_insert=500, seed_ext_max=20, seed_ext_occ=4,
+                            max_candidates=128)
         prs = simulate_pairs(idx.genome, pe_b, read_len=90, seed=2,
                              sub_rate=0.01, indel_rate=0.005,
                              min_insert=150, max_insert=480)

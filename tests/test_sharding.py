@@ -135,3 +135,22 @@ def test_flat_chunks_data_parallel(setup):
     got = _as_np(fn(dix_r, reads_s, len_s))
     for k in ref:
         np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
+
+
+def test_sharded_index_with_seed_extension(setup):
+    """Seed extension's per-step occ gathers go through the psum-merged
+    sharded fetch path; outputs must stay bitwise identical to the
+    replicated single-device run with the same extension config."""
+    idx, cfg, reads, lengths = setup
+    cfg = cfg.replace(seed_ext_max=10, seed_ext_occ=2, max_candidates=16)
+    dix = upload_index(idx)
+    ref = _as_np(map_batch_device(dix, cfg, reads, lengths))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "idx"))
+    dix_s = upload_index_sharded(idx, mesh, "idx")
+    reads_s = jax.device_put(reads, NamedSharding(mesh, P("data", None)))
+    len_s = jax.device_put(lengths, NamedSharding(mesh, P("data")))
+    fn = make_sharded_se_mapper(cfg, mesh, dix_s)
+    got = _as_np(fn(dix_s, reads_s, len_s))
+    for k in ref:
+        np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
