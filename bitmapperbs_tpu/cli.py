@@ -597,7 +597,8 @@ def cmd_search(args) -> int:
             out_fh.flush()
             save_cursor(*last[0])
 
-        for batch in reader:
+        from bitmapperbs_tpu.io.fastq import Prefetcher
+        for batch in Prefetcher(reader):
             codes, qnames, quals = batch.codes, batch.qnames, batch.quals
             last[0] = (batch.start_record + len(batch), batch.end_offset)
             if shard is not None:
@@ -616,12 +617,12 @@ def cmd_search(args) -> int:
         if range_plan is not None:
             limit_records = range_plan.n_records - (
                 resume["record"] - range_plan.start_record)
-        for b1, b2 in read_pairs(args.seq1, args.seq2, cfg.batch_size,
-                                 args.phred64,
-                                 resume_offsets=(resume["offset"],
-                                                 resume.get("offset2", 0)),
-                                 resume_record=resume["record"],
-                                 limit_records=limit_records):
+        from bitmapperbs_tpu.io.fastq import Prefetcher
+        for b1, b2 in Prefetcher(read_pairs(
+                args.seq1, args.seq2, cfg.batch_size, args.phred64,
+                resume_offsets=(resume["offset"], resume.get("offset2", 0)),
+                resume_record=resume["record"],
+                limit_records=limit_records)):
             prs = list(zip(b1.codes, b2.codes))
             quals = list(zip(b1.quals, b2.quals))
             qn = b1.qnames

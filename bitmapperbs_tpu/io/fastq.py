@@ -270,6 +270,45 @@ def read_pairs(path1, path2, batch_size: int = 4096, phred64: bool = False,
         yield b1, b2
 
 
+class Prefetcher:
+    """Decode-ahead iterator: a daemon thread pulls up to `depth` items from
+    the wrapped iterator so FASTQ decode overlaps the device mapping round
+    trip (SURVEY.md hard-part 7: host I/O must overlap device compute --
+    the decode's numpy/zlib inner loops release the GIL).  Items arrive in
+    order; an exception in the source re-raises at the consumer."""
+
+    _DONE = object()
+
+    def __init__(self, it, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+        def pump():
+            try:
+                for x in it:
+                    self._q.put(x)
+                self._q.put(self._DONE)
+            except BaseException as e:  # propagate to the consumer
+                self._q.put(e)
+
+        self._t = threading.Thread(target=pump, daemon=True,
+                                   name="btbs-fastq-prefetch")
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        x = self._q.get()
+        if x is self._DONE:
+            raise StopIteration
+        if isinstance(x, BaseException):
+            raise x
+        return x
+
+
 def write_fastq(path, reads, qnames=None, quals=None):
     """Test/fixture helper."""
     opener = gzip.open if str(path).endswith(".gz") else open

@@ -147,3 +147,25 @@ def test_tiny_chunks(tmp_path, monkeypatch):
         a = _collect(_reference_reader(str(p), batch_size=3))
         b = _collect(iter(FastqReader(str(p), batch_size=3)))
         assert a == b, repr(data[-80:])
+
+
+def test_prefetcher_order_and_exceptions():
+    """Prefetcher yields the source's items in order and re-raises its
+    exception at the consumer."""
+    from bitmapperbs_tpu.io.fastq import Prefetcher
+
+    assert list(Prefetcher(iter(range(50)), depth=3)) == list(range(50))
+
+    def boom():
+        yield 1
+        yield 2
+        raise ValueError("decode failed")
+
+    it = Prefetcher(boom())
+    assert next(it) == 1 and next(it) == 2
+    try:
+        next(it)
+    except ValueError as e:
+        assert "decode failed" in str(e)
+    else:
+        raise AssertionError("exception not propagated")
