@@ -269,9 +269,16 @@ MAX_READ_LEN = 1024   # short-read aligner (SURVEY.md: WGBS reads 50-300 bp)
 
 
 def _budget_for(rate: float, length: int) -> int:
-    """Per-read -e rate resolution: floor(rate*len), clamped to the config
-    range (SURVEY.md 2.1 'max errors or error rate')."""
-    return min(15, max(1, int(rate * length)))
+    """Per-read -e rate resolution: floor(rate*len) (SURVEY.md 2.1 'max
+    errors or error rate').  A resolved budget beyond the config maximum
+    fails loudly -- silently clamping would unmap reads the user's rate
+    promises to tolerate."""
+    b = max(1, int(rate * length))
+    if b > 15:
+        raise SystemExit(f"error: -e {rate} resolves to max_errors={b} for "
+                         f"a {length} bp read (limit 15); use a smaller "
+                         f"rate or an explicit integer -e")
+    return b
 
 
 def _cfg_key(cfg, rate, length: int):
@@ -334,6 +341,17 @@ def _map_grouped_pe(run, cfg, rate, prs, quals, qn):
         for j, i in enumerate(sel):
             recs[2 * i], recs[2 * i + 1] = sub[2 * j], sub[2 * j + 1]
     return recs
+
+
+def _closing_iter(pf):
+    """Yield from a Prefetcher, closing it when iteration stops for ANY
+    reason (exhaustion, break, or an exception unwinding the caller) --
+    the generator's finally runs when its frame is released, so the pump
+    thread and its open FASTQ handle never outlive an aborted run."""
+    try:
+        yield from pf
+    finally:
+        pf.close()
 
 
 def cmd_search(args) -> int:
@@ -556,10 +574,13 @@ def cmd_search(args) -> int:
     def save_cursor(record, offset, offset2=0):
         if cursor_path:
             writer.flush()  # out_pos must be a record/BGZF-block boundary
-            with open(cursor_path, "w") as f:
+            # atomic replace: a SIGKILL mid-write must never leave a torn
+            # cursor file (resume would crash parsing it)
+            with open(cursor_path + ".tmp", "w") as f:
                 json.dump({"record": record, "offset": offset,
                            "offset2": offset2,
                            "out_pos": out_fh.tell()}, f)
+            os.replace(cursor_path + ".tmp", cursor_path)
 
     from bitmapperbs_tpu.utils.profiling import device_trace
     trace_ctx = device_trace(args.profile)
@@ -598,7 +619,7 @@ def cmd_search(args) -> int:
             save_cursor(*last[0])
 
         from bitmapperbs_tpu.io.fastq import Prefetcher
-        for batch in Prefetcher(reader):
+        for batch in _closing_iter(Prefetcher(reader)):
             codes, qnames, quals = batch.codes, batch.qnames, batch.quals
             last[0] = (batch.start_record + len(batch), batch.end_offset)
             if shard is not None:
@@ -618,11 +639,11 @@ def cmd_search(args) -> int:
             limit_records = range_plan.n_records - (
                 resume["record"] - range_plan.start_record)
         from bitmapperbs_tpu.io.fastq import Prefetcher
-        for b1, b2 in Prefetcher(read_pairs(
+        for b1, b2 in _closing_iter(Prefetcher(read_pairs(
                 args.seq1, args.seq2, cfg.batch_size, args.phred64,
                 resume_offsets=(resume["offset"], resume.get("offset2", 0)),
                 resume_record=resume["record"],
-                limit_records=limit_records)):
+                limit_records=limit_records))):
             prs = list(zip(b1.codes, b2.codes))
             quals = list(zip(b1.quals, b2.quals))
             qn = b1.qnames

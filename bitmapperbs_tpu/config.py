@@ -35,7 +35,8 @@ class AlignerConfig:
     # recall 0.59 at the default caps).  0 = off (<= 100 Mbp genomes are
     # cheap enough to just locate/verify the junk).
     seed_ext_max: int = 0
-    seed_ext_occ: int = 16
+    seed_ext_occ: int = 4   # the measured 3 Gbp operating point (PERF.md);
+    #                         matches the CLI default and autotune
 
     # --- library protocol --------------------------------------------------
     non_directional: bool = False  # --pbat / non-directional: add PAT_GA

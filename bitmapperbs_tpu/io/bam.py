@@ -128,7 +128,7 @@ def _encode_record(rec: SamRecord, ref_ids: dict[str, int]) -> bytes:
     if l_seq % 2:
         hx += b"0"            # pad nibble 0 ('='), matching htslib
     packed = bytes.fromhex(hx.decode("ascii"))
-    if rec.qual in ("*", ""):
+    if rec.qual in ("*", "") or l_seq == 0:
         qual = b"\xff" * l_seq
     elif len(rec.qual) != l_seq:
         # the SAM text would carry the mismatched string verbatim; encoding

@@ -275,7 +275,11 @@ class Prefetcher:
     the wrapped iterator so FASTQ decode overlaps the device mapping round
     trip (SURVEY.md hard-part 7: host I/O must overlap device compute --
     the decode's numpy/zlib inner loops release the GIL).  Items arrive in
-    order; an exception in the source re-raises at the consumer."""
+    order; an exception in the source re-raises at the consumer, after
+    which iteration is over.  close() (also a context manager exit)
+    unblocks and retires the thread when the consumer abandons the stream
+    early -- without it the pump would sit blocked on the full queue,
+    pinning the open FASTQ handle for the rest of the process."""
 
     _DONE = object()
 
@@ -284,27 +288,58 @@ class Prefetcher:
         import threading
 
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._finished = False
 
         def pump():
             try:
                 for x in it:
-                    self._q.put(x)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(x, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
                 self._q.put(self._DONE)
             except BaseException as e:  # propagate to the consumer
-                self._q.put(e)
+                try:
+                    self._q.put(e, timeout=5)
+                except queue.Full:
+                    pass
 
         self._t = threading.Thread(target=pump, daemon=True,
                                    name="btbs-fastq-prefetch")
         self._t.start()
 
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._t.join(timeout=5)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._finished:
+            raise StopIteration
         x = self._q.get()
         if x is self._DONE:
+            self._finished = True
             raise StopIteration
         if isinstance(x, BaseException):
+            self._finished = True
             raise x
         return x
 

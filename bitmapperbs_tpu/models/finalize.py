@@ -30,6 +30,10 @@ for _b in (0, 1):
         _TAG4[_b * 2 + _p] = K.CONV_TAGS[(_b, _p)]
 _REV4 = np.array([K.IS_REVERSE[(b, p)] for b in (0, 1) for p in (0, 1)],
                  dtype=bool)
+# gap 0..3 -> mapq, [4] = no-second / cap (the K.mapq_from_gap rule as an
+# array; shared with models/native_finalize.py)
+_MQ_TAB = np.array([K.MAPQ_TABLE[g] for g in range(4)] + [K.MAPQ_MAX],
+                   dtype=np.int32)
 
 
 def _gather_windows(codes: np.ndarray, starts: np.ndarray, width: int,
@@ -141,9 +145,7 @@ def _finalize_core(idx, rc_ref, cfg, arr_all, lens_all, quals, qnames,
     m_arr = lens_all[rows]
     has2 = sec_sc >= 0
     amb_all = has2 & (sec_sc == score)
-    _mq_tab = np.array([K.MAPQ_TABLE[g] for g in range(4)] + [K.MAPQ_MAX],
-                       dtype=np.int64)
-    mapq_all = np.where(has2, _mq_tab[np.clip(sec_sc - score, 0, 4)],
+    mapq_all = np.where(has2, _MQ_TAB[np.clip(sec_sc - score, 0, 4)],
                         K.MAPQ_MAX)
     mapq_all = np.where(amb_all, 0, mapq_all)
 

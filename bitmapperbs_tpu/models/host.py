@@ -46,6 +46,21 @@ def prepare_batch(reads, m_pad: int, batch: int | None = None):
 MAX_INFLIGHT = 3  # device batches dispatched ahead of host finalize
 
 
+def _pad_rows(n: int, bs: int, rnd: int) -> int:
+    """Batch-row count for n reads: full batches use bs; partial batches
+    (tail of a file, or a (budget, bucket) subgroup in -e rate mode) pad to
+    the next power of two so the number of distinct compiled shapes stays
+    O(log bs) instead of one per observed group size."""
+    if n < bs:
+        p = 1
+        while p < n:
+            p <<= 1
+        n = min(bs, p)
+    else:
+        n = bs
+    return -(-n // rnd) * rnd   # mesh data-axis multiple
+
+
 def map_batch_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
                   reads, quals=None, qnames=None, stats=None,
                   pool=None, mappers=None) -> list[SamRecord]:
@@ -94,7 +109,7 @@ def map_batch_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
     pending = []
     for lo in range(0, len(reads), bs):
         chunk = reads[lo:lo + bs]
-        B = -(-min(bs, len(chunk)) // rnd) * rnd
+        B = _pad_rows(len(chunk), bs, rnd)
         arr, lengths = prepare_batch(chunk, m_pad, batch=B)
         out = map_fn(jnp.asarray(arr), jnp.asarray(lengths))  # async dispatch
         pending.append((lo, chunk, arr, lengths, out))
@@ -189,7 +204,7 @@ def map_batch_pe_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
     pending = []
     for lo in range(0, len(pairs), bs):
         chunk = pairs[lo:lo + bs]
-        B = -(-min(bs, len(chunk)) // rnd) * rnd
+        B = _pad_rows(len(chunk), bs, rnd)
         a1, l1 = prepare_batch([p[0] for p in chunk], m_pad, B)
         a2, l2 = prepare_batch([p[1] for p in chunk], m_pad, B)
         out = map_fn(jnp.asarray(a1), jnp.asarray(l1),

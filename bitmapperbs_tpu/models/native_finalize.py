@@ -17,13 +17,12 @@ import numpy as np
 
 from bitmapperbs_tpu import constants as K
 from bitmapperbs_tpu.io.sam import SamRecord
+# single source for the derived spec tables (kept in the numpy spec module
+# so the native and numpy paths can never desynchronize)
+from bitmapperbs_tpu.models.finalize import _MQ_TAB, _TAG4
 
 _LIB = None
 _LIB_TRIED = False
-
-_TAG4 = [K.CONV_TAGS[(b, p)] for b in (0, 1) for p in (0, 1)]
-_MQ_TAB = np.array([K.MAPQ_TABLE[g] for g in range(4)] + [K.MAPQ_MAX],
-                   dtype=np.int32)
 
 _i64p = ctypes.POINTER(ctypes.c_int64)
 _i32p = ctypes.POINTER(ctypes.c_int32)

@@ -169,3 +169,34 @@ def test_prefetcher_order_and_exceptions():
         assert "decode failed" in str(e)
     else:
         raise AssertionError("exception not propagated")
+
+
+def test_prefetcher_close_unblocks_pump():
+    """Abandoning the stream closes the pump thread (no stuck thread / fd)."""
+    import threading
+
+    from bitmapperbs_tpu.io.fastq import Prefetcher
+
+    before = threading.active_count()
+    pf = Prefetcher(iter(range(1000)), depth=2)
+    assert next(pf) == 0
+    pf.close()
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        import time
+        time.sleep(0.05)
+    assert not pf._t.is_alive()
+    # post-exception iteration terminates instead of blocking
+    def boom():
+        raise RuntimeError("x")
+        yield
+    it = Prefetcher(boom())
+    try:
+        next(it)
+    except RuntimeError:
+        pass
+    try:
+        next(it)
+    except StopIteration:
+        pass
