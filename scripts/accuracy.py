@@ -52,6 +52,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=4000)
     ap.add_argument("--genome-bp", type=int, default=2_000_000)
+    ap.add_argument("--cache", default=None,
+                    help="index cache prefix to load instead of building "
+                         "(e.g. /tmp/idx_3g for the 3.08 Gbp artifact)")
     ap.add_argument("--read-len", type=int, default=90)
     ap.add_argument("--pbat", action="store_true")
     ap.add_argument("--pe", action="store_true")
@@ -65,7 +68,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     rng = np.random.default_rng(0)
-    cache = f"/tmp/acc_idx_{args.genome_bp}"
+    cache = args.cache or f"/tmp/acc_idx_{args.genome_bp}"
     if os.path.exists(cache + ".json"):
         idx = load_index(cache)
     else:
@@ -78,6 +81,9 @@ def main():
     cfg = AlignerConfig(max_errors=4, indels=True, read_len_bucket=96,
                         batch_size=args.n, non_directional=args.pbat,
                         paired=args.pe)
+    from bitmapperbs_tpu.cli import autotune_for_genome
+    cfg = autotune_for_genome(cfg, argparse.Namespace(), 
+                              int(sum(idx.genome.lengths)))
 
     if args.pe:
         pairs = simulate_pairs(idx.genome, args.n, read_len=args.read_len,
