@@ -293,3 +293,35 @@ def test_autotune_for_genome():
                                ns(seed_ext=8, max_candidates=96),
                                3_082_006_400)
     assert expl.seed_ext_max == 8 and expl.max_candidates == 64
+
+
+def test_multichip_with_rate_groups(tmp_path, rng):
+    """-e rate grouping on the 8-device virtual mesh: per-budget mapper sets
+    share the uploaded index (make_cli_mappers reuse) and the output is
+    byte-identical to --single-device."""
+    from bitmapperbs_tpu.index.build import build_index, save_index
+    from bitmapperbs_tpu.utils.simulate import simulate_reads
+
+    ref = tmp_path / "ref.fa"
+    ref.write_text(random_genome_fasta(rng, contigs=(5000,)))
+    idx = build_index(str(ref))
+    save_index(idx, str(ref) + ".btidx")
+    a = simulate_reads(idx.genome, 12, read_len=50, seed=41, sub_rate=0.02)
+    b = simulate_reads(idx.genome, 12, read_len=100, seed=42, sub_rate=0.02)
+    reads = [s.codes for pair in zip(a, b) for s in pair]
+    fq = tmp_path / "mix.fq"
+    write_fastq(str(fq), reads, [f"m{i}" for i in range(24)],
+                ["I" * len(r) for r in reads])
+
+    def body(p):
+        return [l for l in open(p).read().splitlines()
+                if not l.startswith("@")]
+
+    base = ["search", str(ref), "--seq", str(fq), "--platform", "cpu",
+            "--batch-size", "24", "--read-bucket", "128", "-e", "0.04"]
+    one = tmp_path / "one.sam"
+    assert main(base + ["-o", str(one), "--single-device"]) == 0
+    eight = tmp_path / "eight.sam"
+    assert main(base + ["-o", str(eight)]) == 0
+    assert body(eight) == body(one)
+    assert len(body(one)) == 24
