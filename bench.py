@@ -67,17 +67,31 @@ def main():
     arr, lengths = prepare_batch(reads, bucket, batch)
     arr_d, len_d = jnp.asarray(arr), jnp.asarray(lengths)
 
-    # compile + warm up
+    # compile + warm up (sync by materializing: see timing note below)
     out = map_batch_device(dix, cfg, arr_d, len_d)
-    jax.block_until_ready(out)
+    np.asarray(out["best_score"])
 
-    # steady-state throughput: batches dispatched back-to-back (JAX async
-    # dispatch overlaps host work and device compute, exactly like the
-    # streaming host pipeline models/host.py), one sync at the end.
+    # TIMING METHODOLOGY (round 3): jax.block_until_ready on a *list* of
+    # outputs returns early on the current axon tunnel runtime -- the old
+    # dispatch-8-identical-batches-and-block loop measured a fake
+    # 183M reads/s (~1200x reality).  Two fixes, robust on any runtime:
+    # every timed iteration gets a DISTINCT input batch (so no caching
+    # layer can elide a repeat), and the sync is np.asarray() of one
+    # per-batch output (materialization cannot return early).  Dispatch
+    # stays back-to-back, so device compute still overlaps host work
+    # exactly like the streaming pipeline in models/host.py.
     iters = 8
+    timed_batches = []
+    for i in range(iters):
+        sims_i = simulate_reads(idx.genome, batch, read_len=90, seed=10 + i,
+                                sub_rate=0.01, indel_rate=0.005)
+        a_i, l_i = prepare_batch([s.codes for s in sims_i], bucket, batch)
+        timed_batches.append((jnp.asarray(a_i), jnp.asarray(l_i)))
     t0 = time.perf_counter()
-    outs = [map_batch_device(dix, cfg, arr_d, len_d) for _ in range(iters)]
-    jax.block_until_ready(outs)
+    outs = [map_batch_device(dix, cfg, a_i, l_i)
+            for (a_i, l_i) in timed_batches]
+    for o in outs:
+        np.asarray(o["best_score"])
     dt = (time.perf_counter() - t0) / iters
     device_rps = batch / dt
 
@@ -90,17 +104,22 @@ def main():
     pe_batch = 4096   # PE pairs (simulation cost); metric line is SE
     pe_cfg = cfg.replace(paired=True, min_insert=0, max_insert=500,
                          batch_size=pe_batch)
-    prs = simulate_pairs(idx.genome, pe_batch, read_len=90, seed=2,
-                         sub_rate=0.01, indel_rate=0.005,
-                         min_insert=150, max_insert=480)
-    a1, l1 = prepare_batch([p[0].codes for p in prs], bucket, pe_batch)
-    a2, l2 = prepare_batch([p[1].codes for p in prs], bucket, pe_batch)
-    pe_args = tuple(jnp.asarray(x) for x in (a1, l1, a2, l2))
-    out = map_batch_pe_device(dix, pe_cfg, *pe_args)
-    jax.block_until_ready(out)
+
+    def _pe_args(seed):
+        prs = simulate_pairs(idx.genome, pe_batch, read_len=90, seed=seed,
+                             sub_rate=0.01, indel_rate=0.005,
+                             min_insert=150, max_insert=480)
+        a1, l1 = prepare_batch([p[0].codes for p in prs], bucket, pe_batch)
+        a2, l2 = prepare_batch([p[1].codes for p in prs], bucket, pe_batch)
+        return tuple(jnp.asarray(x) for x in (a1, l1, a2, l2))
+
+    pe_batches = [_pe_args(seed) for seed in (2, 20, 21, 22, 23)]
+    out = map_batch_pe_device(dix, pe_cfg, *pe_batches[0])   # warm
+    np.asarray(out["pair_sum"])
     t0 = time.perf_counter()
-    outs = [map_batch_pe_device(dix, pe_cfg, *pe_args) for _ in range(4)]
-    jax.block_until_ready(outs)
+    outs = [map_batch_pe_device(dix, pe_cfg, *a) for a in pe_batches[1:]]
+    for o in outs:
+        np.asarray(o["pair_sum"])
     pe_rps = 2 * pe_batch / ((time.perf_counter() - t0) / 4)
     sys.stderr.write(f"[bench] paired-end: {pe_rps:.0f} reads/s/chip "
                      f"({pe_rps / 2:.0f} pairs/s)\n")
@@ -152,22 +171,26 @@ def main():
         try:
             big = load_index(cache)
             dix_b = upload_index(big)
-            sims_b = simulate_reads(big.genome, 4096, read_len=90, seed=3,
-                                    sub_rate=0.01, indel_rate=0.005)
-            arr_b, len_b = prepare_batch([s.codes for s in sims_b], 96, 4096)
-            arr_b, len_b = jnp.asarray(arr_b), jnp.asarray(len_b)
             cfg_b = cfg.replace(batch_size=4096)
             if sum(big.genome.lengths) > 512_000_000:
                 # Gbp auto-tune (cli.autotune_for_genome / PERF.md round-3
                 # study): adaptive seed extension + Kc128
                 cfg_b = cfg_b.replace(seed_ext_max=20, seed_ext_occ=4,
                                       max_candidates=128)
-            jax.block_until_ready(map_batch_device(dix_b, cfg_b, arr_b,
-                                                   len_b))
+            big_batches = []
+            for i in range(5):   # distinct batches (timing note above)
+                sims_b = simulate_reads(big.genome, 4096, read_len=90,
+                                        seed=3 + i, sub_rate=0.01,
+                                        indel_rate=0.005)
+                a_b, l_b = prepare_batch([s.codes for s in sims_b], 96, 4096)
+                big_batches.append((jnp.asarray(a_b), jnp.asarray(l_b)))
+            warm = map_batch_device(dix_b, cfg_b, *big_batches[0])
+            np.asarray(warm["best_score"])
             t0 = time.perf_counter()
-            outs = [map_batch_device(dix_b, cfg_b, arr_b, len_b)
-                    for _ in range(4)]
-            jax.block_until_ready(outs)
+            outs = [map_batch_device(dix_b, cfg_b, a_b, l_b)
+                    for (a_b, l_b) in big_batches[1:]]
+            for o in outs:
+                np.asarray(o["best_score"])
             rps = 4096 / ((time.perf_counter() - t0) / 4)
             sys.stderr.write(f"[bench] {label} genome "
                              f"({big.nbytes() / 1e9:.2f} GB index): "

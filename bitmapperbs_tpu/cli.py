@@ -361,6 +361,20 @@ def cmd_search(args) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+        if args.platform == "tpu":
+            try:
+                jax.devices()
+            except RuntimeError:
+                # accelerator plugins can register under another platform
+                # name (e.g. some environments expose the chip as an
+                # experimental plugin, not "tpu"); fall back to jax's
+                # priority order but keep the flag's meaning: a cpu-only
+                # resolution is an error, not a silent host run.
+                jax.config.update("jax_platforms", None)
+                if jax.default_backend() == "cpu":
+                    sys.stderr.write("error: --platform tpu: no accelerator"
+                                     " backend available\n")
+                    return 2
     import numpy as np
 
     from bitmapperbs_tpu import constants as K
