@@ -76,11 +76,10 @@ def timed_chain(fn, table, gi, iters=3):
 
         return jax.lax.fori_loop(0, REPS, step, i0)
 
-    out = run(table, gi)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        jax.block_until_ready(run(table, gi))
+    np.asarray(run(table, gi))   # warm; sync by materialization (the
+    t0 = time.perf_counter()     # tunnel's block_until_ready can return
+    for _ in range(iters):       # early -- see bench.py timing note)
+        np.asarray(run(table, gi))
     return (time.perf_counter() - t0) / iters / REPS
 
 
