@@ -173,24 +173,18 @@ def main():
 
     # realistic-genome-scale numbers (stderr; the driver metric line stays
     # the 10 Mbp workload for round-over-round comparability).  Uses the
-    # session index caches when present -- a 100 Mbp or 3.08 Gbp SA-IS
-    # build does not fit in a bench run.
-    import os
-
+    # persistent artifact caches when present -- a 100 Mbp or 3.08 Gbp
+    # SA-IS build does not fit in a bench run.  The 3 Gbp upload is ~2-3
+    # min since round 4 (mmap-direct stitched puts + genome-plane cache,
+    # index/device.py), so it is no longer env-gated.
     from bitmapperbs_tpu.index.build import load_index
+    from bitmapperbs_tpu.utils.artifacts import find_artifact
 
     del dix
-    for cache, label in (("/tmp/idx_100m", "100 Mbp"),
-                         ("/tmp/idx_3g", "3.08 Gbp human-scale")):
-        if not os.path.exists(cache + ".json"):
-            continue
-        if cache.endswith("_3g") and not os.environ.get("BTBS_BENCH_3G"):
-            # loading + uploading the 9.5 GB artifact is ~20 min -- far past
-            # this script's ~5 min budget.  Measured numbers live in
-            # BASELINE.md (scripts/human_bench.py reproduces them).
-            sys.stderr.write("[bench] 3.08 Gbp bench skipped (set "
-                             "BTBS_BENCH_3G=1 or run scripts/human_bench.py;"
-                             " measured numbers in BASELINE.md)\n")
+    for name, label in (("idx_100m", "100 Mbp"),
+                        ("idx_3g", "3.08 Gbp human-scale")):
+        cache = find_artifact(name)
+        if cache is None:
             continue
         try:
             big = load_index(cache)

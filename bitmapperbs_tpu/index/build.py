@@ -310,6 +310,10 @@ class BSIndex:
     genome: Genome
     blocks: list[PackedBlock]   # [BLOCK_FWD over CT(W), BLOCK_RC over CT(rc(W))]
     meta: dict
+    # artifact prefix when mmap-loaded from disk (None for in-RAM builds);
+    # lets upload_index find/create the derived genome-plane cache next to
+    # the artifact instead of recomputing packed_planes (minutes at Gbp)
+    source_prefix: str | None = None
 
     def nbytes(self) -> int:
         return sum(b.nbytes() for b in self.blocks) + self.genome.codes.nbytes
@@ -552,4 +556,5 @@ def load_index(prefix: str, mmap: bool = True) -> BSIndex:
             ("version", "genome_sha256", "cp_block", "sa_sample_rate",
              "klt_k", "contig_pad")}
     meta["version"] = INDEX_VERSION
-    return BSIndex(genome=genome, blocks=blocks, meta=meta)
+    return BSIndex(genome=genome, blocks=blocks, meta=meta,
+                   source_prefix=str(prefix))

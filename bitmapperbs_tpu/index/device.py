@@ -13,6 +13,7 @@ indices are int32 (row counts are < 2^31 even for GRCh38).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -69,49 +70,114 @@ _CHUNK_BYTES = 256 << 20
 _PUT_THRESHOLD = 1 << 30
 
 
-def _chunked_put(x: np.ndarray, device):
-    if x.nbytes <= _PUT_THRESHOLD:
-        return jax.device_put(jnp.asarray(x), device)
-    row_bytes = max(1, x.nbytes // max(1, x.shape[0]))
+def _stitched_put(parts, shape, dtype, device):
+    """Row-stitch a list of (row_offset, ndarray) into one device buffer.
+
+    Sources may be mmap views straight off the artifact: nothing is copied
+    on the host beyond one in-flight chunk, so uploading a Gbp-scale index
+    never materializes the 6+ GB stacked layout in RAM (the round-3 padded()
+    copy did, and was a measurable slice of the 3 Gbp upload's ~20 min).
+    Rows not covered by any part stay zero (block padding semantics)."""
+    nbytes = int(np.prod(shape, dtype=np.int64)) * np.dtype(dtype).itemsize
+    if nbytes <= _PUT_THRESHOLD:
+        out = np.zeros(shape, dtype=dtype)
+        for off, a in parts:
+            out[off:off + a.shape[0]] = a
+        return jax.device_put(jnp.asarray(out), device)
+    row_bytes = max(1, nbytes // max(1, shape[0]))
     rows = max(1, _CHUNK_BYTES // row_bytes)
 
     def _update(buf, chunk, start):
         return jax.lax.dynamic_update_slice_in_dim(buf, chunk, start, axis=0)
 
     update = jax.jit(_update, donate_argnums=0)
-    buf = jax.device_put(jnp.zeros(x.shape, dtype=x.dtype), device)
-    for s in range(0, x.shape[0], rows):
-        chunk = jax.device_put(jnp.asarray(x[s:s + rows]), device)
-        buf = update(buf, chunk, jnp.int32(s))
-        del chunk
+    buf = jax.device_put(jnp.zeros(shape, dtype=dtype), device)
+    for off, a in parts:
+        for s in range(0, a.shape[0], rows):
+            chunk = jax.device_put(
+                jnp.asarray(np.ascontiguousarray(a[s:s + rows])), device)
+            buf = update(buf, chunk, jnp.int32(off + s))
+            del chunk
     return jax.block_until_ready(buf)
 
 
-def upload_index(idx: BSIndex, device=None) -> DeviceIndex:
-    """Host BSIndex -> device arrays."""
-    rows_max = max(b.cp_rows.shape[0] for b in idx.blocks)
-    smax = max(len(b.sa_samples) for b in idx.blocks)
+def _chunked_put(x: np.ndarray, device):
+    return _stitched_put([(0, x)], x.shape, x.dtype, device)
 
-    def padded(arrs, rows, width):
-        out = np.zeros((2, rows, width), dtype=np.uint32)
-        for i, a in enumerate(arrs):
-            out[i, :a.shape[0]] = a
-        return out
 
-    cp = padded([b.cp_rows for b in idx.blocks], rows_max, K.CP_ROW_U32)
-    sa = np.zeros((2, max(smax, 1)), dtype=np.uint32)
-    for i, b in enumerate(idx.blocks):
-        sa[i, :len(b.sa_samples)] = b.sa_samples
+PLANES_CACHE_VERSION = 1
 
-    planes = idx.genome.packed_planes()
+
+def _planes_cache_path(idx: BSIndex) -> str | None:
+    """Derived genome-plane cache living next to the artifact.
+
+    Keyed by genome_sha256 so artifacts of the same genome at different
+    sa_rates (e.g. idx_3g / idx_3g_r4) share one cache file."""
+    if idx.source_prefix is None:
+        return None
+    sha = idx.meta.get("genome_sha256", "")[:16]
+    if not sha:
+        return None
+    d = os.path.dirname(os.path.abspath(idx.source_prefix))
+    return os.path.join(d, f"gplanes_{sha}.v{PLANES_CACHE_VERSION}.bin")
+
+
+def _device_layout_planes(genome) -> np.ndarray:
+    """Genome -> gp uint32[2 * (words+1), 3] in the exact upload layout.
+
+    Leading zero word: ops/verify.window_planes biases starts by +32 so
+    wrapped-negative window starts (anchor - e near position 0) resolve;
+    plane-INTERLEAVED rows so one gather fetches all 3 planes of a word."""
+    planes = genome.packed_planes()
     words = len(planes["g0"])
-    # leading zero word: ops/verify.window_planes biases starts by +32 so
-    # wrapped-negative window starts (anchor - e near position 0) resolve;
-    # plane-INTERLEAVED rows so one gather fetches all 3 planes of a word
     gp = np.zeros((2, words + 1, 3), dtype=np.uint32)
     for oi, pref in enumerate(("g", "r")):
         for pi, suf in enumerate(("0", "1", "n")):
             gp[oi, 1:, pi] = planes[pref + suf]
+    return gp.reshape(2 * (words + 1), 3)
+
+
+def ensure_plane_cache(idx: BSIndex) -> str | None:
+    """Write the genome-plane cache if the index came from disk; return its
+    path (None for in-RAM indexes).  Atomic: temp file + rename."""
+    path = _planes_cache_path(idx)
+    if path is None:
+        return None
+    if not os.path.exists(path):
+        gp = _device_layout_planes(idx.genome)
+        tmp = path + f".tmp.{os.getpid()}"
+        gp.tofile(tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _load_or_build_planes(idx: BSIndex) -> np.ndarray:
+    path = _planes_cache_path(idx)
+    words = (idx.genome.length + 31) // 32
+    n_rows = 2 * (words + 1)
+    if path is not None:
+        if not os.path.exists(path):
+            ensure_plane_cache(idx)
+        gp = np.memmap(path, dtype=np.uint32, mode="r")
+        if gp.size == n_rows * 3:
+            return gp.reshape(n_rows, 3)
+        # stale/foreign cache (size mismatch): rebuild in RAM, don't trust it
+    return _device_layout_planes(idx.genome)
+
+
+def upload_index(idx: BSIndex, device=None) -> DeviceIndex:
+    """Host BSIndex -> device arrays.
+
+    Zero-copy from an mmap-loaded artifact: per-block cp/sa segments are
+    chunk-streamed straight into the stacked device buffers, and the genome
+    planes come from the on-disk cache when present (recomputing them is
+    minutes of single-core work at 3 Gbp)."""
+    rows_max = max(b.cp_rows.shape[0] for b in idx.blocks)
+    smax = max(max(len(b.sa_samples) for b in idx.blocks), 1)
+
+    cp_parts = [(i * rows_max, b.cp_rows) for i, b in enumerate(idx.blocks)]
+    sa_parts = [(i * smax, b.sa_samples) for i, b in enumerate(idx.blocks)]
+    gp = _load_or_build_planes(idx)
 
     klt_k = idx.blocks[0].klt_k
     assert all(b.klt_k == klt_k for b in idx.blocks)
@@ -119,16 +185,17 @@ def upload_index(idx: BSIndex, device=None) -> DeviceIndex:
 
     put = lambda x: _chunked_put(np.ascontiguousarray(x), device)
     return DeviceIndex(
-        cp_rows=put(cp.reshape(2 * rows_max, K.CP_ROW_U32)),
+        cp_rows=_stitched_put(cp_parts, (2 * rows_max, K.CP_ROW_U32),
+                              np.uint32, device),
         cbase=put(np.stack([b.cbase for b in idx.blocks])),
-        sa_samples=put(sa.reshape(-1)),
+        sa_samples=_stitched_put(sa_parts, (2 * smax,), np.uint32, device),
         n=put(np.array([b.n for b in idx.blocks], dtype=np.uint32)),
-        g_planes=put(gp.reshape(2 * (words + 1), 3)),
+        g_planes=_stitched_put([(0, gp)], gp.shape, np.uint32, device),
         klt=put(klt.reshape(2 * 3 ** klt_k, 2)),
         rows_max=rows_max,
         genome_len=idx.genome.length,
-        samples_max=sa.shape[1],
+        samples_max=smax,
         sa_rate=idx.blocks[0].sa_rate,
         klt_k=klt_k,
-        g_words=words + 1,
+        g_words=gp.shape[0] // 2,
     )

@@ -1,23 +1,31 @@
-"""Rebuild the at-scale index caches (/tmp/idx_100m, /tmp/idx_3g*).
+"""Rebuild the at-scale index caches (idx_100m, idx_3g, idx_3g_r4).
 
-The driver VM's /tmp is wiped between sessions; bench.py's at-scale stderr
-lines and scripts/human_bench.py both need these artifacts.  This script is
-the single reproducible builder:
+Artifacts now live in the persistent artifacts dir (utils/artifacts.py;
+default <repo>/artifacts, gitignored) -- round 3 lost a finished 3 Gbp
+build to a /tmp wipe, so /tmp is only consulted as a legacy read location.
 
-  1. 100 Mbp, 2x50 Mbp contigs, seed 7  -> /tmp/idx_100m
+The 3 Gbp build is BLOCK-RESUMABLE (VERDICT r3 #2): the expensive units
+are one SA-IS pass per block (~1.7 h each on this one-core VM) and one
+pack per (block, sa_rate) (~20 min each).  Each packed (block, rate)
+result is checkpointed to <artifacts>/ckpt_3g/<block>_r<rate>/ the moment
+it exists, and the parsed genome codes are checkpointed once (~15 min to
+regenerate), so a mid-build kill costs at most one SA-IS unit, not 4-5 h.
+
+  1. 100 Mbp, 2x50 Mbp contigs, seed 7  -> idx_100m
      (same recipe as scripts/crossdiff.py so the caches are interchangeable)
-  2. 3.08 Gbp, 24 GRCh38-length contigs, seed 3:
-     one SA-IS pass per block (the expensive part, ~1.5-2 h/block on one
-     core), then BOTH sampling rates packed from the same suffix array:
-       sa_rate 8 -> /tmp/idx_3g     (~9.5 GB, the proven-upload artifact)
-       sa_rate 4 -> /tmp/idx_3g_r4  (~12.6 GB, half the locate LF steps)
+  2. 3.08 Gbp, 24 GRCh38-length contigs, seed 3: SA-IS per block, then BOTH
+     sampling rates packed from the same suffix array:
+       sa_rate 8 -> idx_3g     (~9.5 GB, the proven-upload artifact)
+       sa_rate 4 -> idx_3g_r4  (~12.6 GB, half the locate LF steps)
+     plus the genome-plane device cache (index/device.ensure_plane_cache).
 
-Run detached:  nohup nice -n 19 python scripts/build_big.py > /tmp/build3g.log 2>&1 &
+Run detached:  nohup nice -n 19 python scripts/build_big.py > build3g.log 2>&1 &
 A `<prefix>.done` marker is written after each artifact is fully serialized.
 """
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -28,11 +36,13 @@ import numpy as np
 
 from bitmapperbs_tpu import constants as K
 from bitmapperbs_tpu.index.build import (BSIndex, INDEX_VERSION, CONTIG_PAD,
-                                         build_block, build_index,
-                                         default_klt_k, parse_fasta,
-                                         save_index)
+                                         Genome, PackedBlock, build_block,
+                                         build_index, default_klt_k,
+                                         parse_fasta, save_index)
 from bitmapperbs_tpu.index import sais
+from bitmapperbs_tpu.index.device import ensure_plane_cache
 from bitmapperbs_tpu.utils import dna
+from bitmapperbs_tpu.utils.artifacts import artifacts_dir, find_artifact
 from bitmapperbs_tpu.utils.simulate import random_genome_fasta
 
 T0 = time.time()
@@ -57,11 +67,10 @@ def mark_done(prefix: str) -> None:
 
 
 def build_100m() -> None:
-    prefix = "/tmp/idx_100m"
-    if os.path.exists(prefix + ".json"):
-        log(f"{prefix} already present; skipping")
-        mark_done(prefix)
+    if find_artifact("idx_100m"):
+        log("idx_100m already present; skipping")
         return
+    prefix = os.path.join(artifacts_dir(), "idx_100m")
     rng = np.random.default_rng(7)
     log("100 Mbp: generating genome")
     fa = random_genome_fasta(rng, contigs=(50_000_000, 50_000_000))
@@ -72,54 +81,145 @@ def build_100m() -> None:
     log(f"100 Mbp: saved {prefix} ({idx.nbytes() / 1e9:.2f} GB)")
 
 
-def build_3g() -> None:
-    if os.path.exists("/tmp/idx_3g.done") and os.path.exists(
-            "/tmp/idx_3g_r4.done"):
-        log("3.08 Gbp artifacts already present; skipping")
-        return
+# ---- 3 Gbp block checkpoints -------------------------------------------
+
+def _ckpt_dir(name: str, rate: int) -> str:
+    return os.path.join(artifacts_dir(), "ckpt_3g", f"{name}_r{rate}")
+
+
+def _save_block_ckpt(name: str, rate: int, blk: PackedBlock) -> None:
+    d = _ckpt_dir(name, rate)
+    tmp = d + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    np.save(os.path.join(tmp, "cbase.npy"), blk.cbase)
+    np.save(os.path.join(tmp, "cp_rows.npy"), blk.cp_rows)
+    np.save(os.path.join(tmp, "sa_samples.npy"), blk.sa_samples)
+    np.save(os.path.join(tmp, "klt.npy"), blk.klt)
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump({"n": blk.n, "sa_rate": blk.sa_rate,
+                   "klt_k": blk.klt_k}, f)
+    import shutil
+    shutil.rmtree(d, ignore_errors=True)   # clear any torn residue
+    os.replace(tmp, d)   # atomic: a torn checkpoint never has the final name
+
+
+def _load_block_ckpt(name: str, rate: int, mmap: bool) -> PackedBlock | None:
+    d = _ckpt_dir(name, rate)
+    if not os.path.exists(os.path.join(d, "meta.json")):
+        return None
+    with open(os.path.join(d, "meta.json")) as f:
+        meta = json.load(f)
+    mm = "r" if mmap else None
+    return PackedBlock(
+        n=meta["n"],
+        cbase=np.load(os.path.join(d, "cbase.npy")),
+        cp_rows=np.load(os.path.join(d, "cp_rows.npy"), mmap_mode=mm),
+        sa_samples=np.load(os.path.join(d, "sa_samples.npy"), mmap_mode=mm),
+        sa_rate=meta["sa_rate"],
+        klt_k=meta["klt_k"],
+        klt=np.load(os.path.join(d, "klt.npy")),
+    )
+
+
+def _genome_3g() -> Genome:
+    """Parsed 3.08 Gbp genome, checkpointed (generate+parse is ~15 min)."""
+    d = artifacts_dir()
+    cpath = os.path.join(d, "ckpt_3g_codes.bin")
+    mpath = os.path.join(d, "ckpt_3g_genome.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            m = json.load(f)
+        codes = np.memmap(cpath, dtype=np.uint8, mode="r")
+        log("3.08 Gbp: genome loaded from checkpoint")
+        return Genome(names=m["names"],
+                      offsets=np.asarray(m["offsets"], dtype=np.int64),
+                      lengths=np.asarray(m["lengths"], dtype=np.int64),
+                      codes=codes)
     rng = np.random.default_rng(3)
     log("3.08 Gbp: generating 24-contig genome")
     fa = random_genome_fasta(rng, contigs=GRCH38_LENGTHS)
     log("3.08 Gbp: parsing")
     genome = parse_fasta(fa)
     del fa
-    log(f"3.08 Gbp: {sum(genome.lengths) / 1e9:.3f} Gbp, "
-        f"{len(genome.lengths)} contigs; converting")
-    ct_fwd = dna.ct_convert(genome.codes)
-    ct_rc = dna.ct_convert(dna.revcomp(genome.codes))
-    klt_k = default_klt_k(len(genome.codes) + 1)
-    sha = hashlib.sha256(genome.codes.tobytes()).hexdigest()
+    genome.codes.tofile(cpath + ".tmp")
+    os.replace(cpath + ".tmp", cpath)
+    with open(mpath + ".tmp", "w") as f:
+        json.dump({"names": genome.names,
+                   "offsets": genome.offsets.tolist(),
+                   "lengths": genome.lengths.tolist()}, f)
+    os.replace(mpath + ".tmp", mpath)
+    log("3.08 Gbp: genome checkpointed")
+    return genome
 
-    blocks = {4: [], 8: []}
-    for name, conv in (("fwd", ct_fwd), ("rc", ct_rc)):
-        text = np.concatenate([np.ascontiguousarray(conv, dtype=np.uint8),
-                               np.zeros(1, dtype=np.uint8)])
-        t0 = time.time()
-        log(f"3.08 Gbp: SA-IS on block {name} (n={len(text)})")
-        sa = sais.suffix_array(text)
-        log(f"3.08 Gbp: SA-IS {name} done in {time.time() - t0:.0f}s")
-        del text
-        for rate in (8, 4):
+
+def build_3g() -> None:
+    done = [find_artifact(n) for n in ("idx_3g", "idx_3g_r4")]
+    if all(done):
+        log("3.08 Gbp artifacts already present; skipping build")
+        idx = None
+    else:
+        genome = _genome_3g()
+        log(f"3.08 Gbp: {sum(genome.lengths) / 1e9:.3f} Gbp, "
+            f"{len(genome.lengths)} contigs")
+        klt_k = default_klt_k(len(genome.codes) + 1)
+        sha = hashlib.sha256(genome.codes.tobytes()).hexdigest()
+
+        blocks = {4: [], 8: []}
+        for name in ("fwd", "rc"):
+            have = {r: _load_block_ckpt(name, r, mmap=True) for r in (8, 4)}
+            if all(have.values()):
+                log(f"3.08 Gbp: block {name} loaded from checkpoints")
+                for r in (8, 4):
+                    blocks[r].append(have[r])
+                continue
+            conv = dna.ct_convert(genome.codes if name == "fwd"
+                                  else dna.revcomp(genome.codes))
+            text = np.concatenate([np.ascontiguousarray(conv, dtype=np.uint8),
+                                   np.zeros(1, dtype=np.uint8)])
             t0 = time.time()
-            blk = build_block(conv, sa=sa, sa_rate=rate, klt_k=klt_k)
-            blocks[rate].append(blk)
-            log(f"3.08 Gbp: packed block {name} sa_rate={rate} "
-                f"in {time.time() - t0:.0f}s")
-        del sa
+            log(f"3.08 Gbp: SA-IS on block {name} (n={len(text)})")
+            sa = sais.suffix_array(text)
+            log(f"3.08 Gbp: SA-IS {name} done in {time.time() - t0:.0f}s")
+            del text
+            for rate in (8, 4):
+                if have[rate] is not None:
+                    blocks[rate].append(have[rate])
+                    continue
+                t0 = time.time()
+                blk = build_block(conv, sa=sa, sa_rate=rate, klt_k=klt_k)
+                _save_block_ckpt(name, rate, blk)
+                # reopen mmap-backed so four packed blocks (~22 GB total)
+                # never sit in RAM at once during the final saves
+                blocks[rate].append(_load_block_ckpt(name, rate, mmap=True))
+                del blk
+                log(f"3.08 Gbp: packed block {name} sa_rate={rate} "
+                    f"in {time.time() - t0:.0f}s (checkpointed)")
+            del sa, conv
 
-    for rate, prefix in ((8, "/tmp/idx_3g"), (4, "/tmp/idx_3g_r4")):
-        meta = {
-            "version": INDEX_VERSION,
-            "genome_sha256": sha,
-            "cp_block": K.CP_BLOCK,
-            "sa_sample_rate": rate,
-            "klt_k": klt_k,
-            "contig_pad": CONTIG_PAD,
-        }
-        idx = BSIndex(genome=genome, blocks=blocks[rate], meta=meta)
-        save_index(idx, prefix)
-        mark_done(prefix)
-        log(f"3.08 Gbp: saved {prefix} ({idx.nbytes() / 1e9:.2f} GB)")
+        for rate, stem in ((8, "idx_3g"), (4, "idx_3g_r4")):
+            prefix = os.path.join(artifacts_dir(), stem)
+            if find_artifact(stem):
+                continue
+            meta = {
+                "version": INDEX_VERSION,
+                "genome_sha256": sha,
+                "cp_block": K.CP_BLOCK,
+                "sa_sample_rate": rate,
+                "klt_k": klt_k,
+                "contig_pad": CONTIG_PAD,
+            }
+            idx = BSIndex(genome=genome, blocks=blocks[rate], meta=meta)
+            save_index(idx, prefix)
+            mark_done(prefix)
+            log(f"3.08 Gbp: saved {prefix} ({idx.nbytes() / 1e9:.2f} GB)")
+
+    # derived device-plane cache (shared by both artifacts via genome sha)
+    from bitmapperbs_tpu.index.build import load_index
+    prefix = find_artifact("idx_3g")
+    if prefix:
+        t0 = time.time()
+        path = ensure_plane_cache(load_index(prefix))
+        log(f"3.08 Gbp: plane cache ready ({path}) in {time.time() - t0:.0f}s")
 
 
 def main() -> None:

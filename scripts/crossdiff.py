@@ -97,8 +97,12 @@ def main():
     from bitmapperbs_tpu.utils.simulate import (random_genome_fasta,
                                                 simulate_reads_bulk)
 
-    cache = {100_000_000: "/tmp/idx_100m",
-             10_000_000: "/tmp/profile_idx_10m"}.get(args.genome_bp)
+    from bitmapperbs_tpu.utils.artifacts import find_artifact
+    name = {100_000_000: "idx_100m",
+            10_000_000: "profile_idx_10m"}.get(args.genome_bp)
+    cache = find_artifact(name) if name else None
+    if cache is None and name:
+        cache = os.path.join("/tmp", name)   # build-and-save location
     if cache and os.path.exists(cache + ".json"):
         idx = load_index(cache)
     else:

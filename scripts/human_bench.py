@@ -27,7 +27,9 @@ import jax.numpy as jnp
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cache", default="/tmp/idx_3g")
+    ap.add_argument("--cache", default=None,
+                    help="artifact prefix (default: locate idx_3g in the "
+                         "persistent artifacts dir, then /tmp)")
     ap.add_argument("--klt", type=int, default=0,
                     help="rebuild the k-mer table at this depth first")
     ap.add_argument("--batches", default="4096,16384")
@@ -40,10 +42,14 @@ def main():
     from bitmapperbs_tpu.index.device import upload_index
     from bitmapperbs_tpu.models.aligner import INF, map_batch_device
     from bitmapperbs_tpu.models.host import prepare_batch
+    from bitmapperbs_tpu.utils.artifacts import find_artifact
     from bitmapperbs_tpu.utils.simulate import simulate_pairs, simulate_reads
 
+    cache = args.cache or find_artifact("idx_3g")
+    if cache is None:
+        sys.exit("no idx_3g artifact found (run scripts/build_big.py)")
     t0 = time.time()
-    idx = load_index(args.cache)
+    idx = load_index(cache)
     print(f"loaded {sum(idx.genome.lengths)/1e9:.2f} Gbp index in "
           f"{time.time()-t0:.0f}s (sa_rate={idx.blocks[0].sa_rate} "
           f"klt_k={idx.blocks[0].klt_k} {idx.nbytes()/1e9:.2f} GB)",

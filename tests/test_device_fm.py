@@ -142,3 +142,45 @@ def test_chunked_put_matches_direct(setup, monkeypatch):
     for f in ("cp_rows", "cbase", "sa_samples", "n", "g_planes", "klt"):
         np.testing.assert_array_equal(np.asarray(getattr(dix, f)),
                                       np.asarray(getattr(dix2, f)), err_msg=f)
+
+def test_upload_from_artifact_matches_inram(setup, tmp_path):
+    """mmap-loaded artifact upload (stitched per-block puts + genome-plane
+    sidecar cache) is bit-identical to the in-RAM upload, and the plane
+    cache file is created once and reused."""
+    import os
+
+    from bitmapperbs_tpu.index import device as dev
+    from bitmapperbs_tpu.index.build import load_index, save_index
+    idx, dix = setup
+    prefix = str(tmp_path / "art")
+    save_index(idx, prefix)
+    idx2 = load_index(prefix)
+    assert idx2.source_prefix == prefix
+    dix2 = dev.upload_index(idx2)   # creates the plane cache
+    cache = dev._planes_cache_path(idx2)
+    assert cache is not None and os.path.exists(cache)
+    mtime = os.path.getmtime(cache)
+    for f in ("cp_rows", "cbase", "sa_samples", "n", "g_planes", "klt"):
+        np.testing.assert_array_equal(np.asarray(getattr(dix, f)),
+                                      np.asarray(getattr(dix2, f)), err_msg=f)
+    dix3 = dev.upload_index(idx2)   # second upload reuses the cache
+    assert os.path.getmtime(cache) == mtime
+    np.testing.assert_array_equal(np.asarray(dix2.g_planes),
+                                  np.asarray(dix3.g_planes))
+
+
+def test_upload_ignores_stale_plane_cache(setup, tmp_path):
+    """A size-mismatched plane cache is rebuilt in RAM, not trusted."""
+    import os
+
+    from bitmapperbs_tpu.index import device as dev
+    from bitmapperbs_tpu.index.build import load_index, save_index
+    idx, dix = setup
+    prefix = str(tmp_path / "art")
+    save_index(idx, prefix)
+    idx2 = load_index(prefix)
+    cache = dev._planes_cache_path(idx2)
+    np.zeros(7, dtype=np.uint32).tofile(cache)   # wrong size
+    dix2 = dev.upload_index(idx2)
+    np.testing.assert_array_equal(np.asarray(dix.g_planes),
+                                  np.asarray(dix2.g_planes))
