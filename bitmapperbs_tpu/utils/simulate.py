@@ -173,6 +173,102 @@ def simulate_reads_bulk(genome: Genome, n: int, read_len: int = 100, *,
     return out, ci.astype(np.int32), coord.astype(np.int64), si
 
 
+def plant_repeats(rng, codes: np.ndarray, *, dispersed_frac: float = 0.27,
+                  line_frac: float = 0.17, tandem_frac: float = 0.03,
+                  segdup_frac: float = 0.05,
+                  divergence=(0.05, 0.15)) -> dict:
+    """Overwrite a random backbone with human-like repeat structure, in place.
+
+    Uniform-random genomes have only 3-letter-alphabet statistics in their
+    seed-occupancy tail; real genomes add interspersed repeat families,
+    tandem satellite arrays, and segmental duplications -- the regime the
+    reference's adaptive seeding exists for (SURVEY.md C9, section 7
+    hard-part 2).  Human-profile defaults: ~10%+17% SINE/LINE-like
+    dispersed copies at 85-95% identity, ~3% tandem satellite, ~5%
+    segmental duplications at 95-99% identity (~45%+ repeat-derived total,
+    GRC-scale proportions).
+
+    codes must not contain the contig N padding yet (plant before padding)
+    or may: N positions are simply overwritten.  Returns a stats dict.
+    """
+    L = len(codes)
+    stats = {"dispersed": 0, "line": 0, "tandem": 0, "segdup": 0}
+
+    def _mutate(seq, rate):
+        m = rng.random(len(seq)) < rate
+        out = seq.copy()
+        out[m] = (out[m] + rng.integers(1, 4, int(m.sum()))) % 4
+        return out
+
+    # dispersed families: SINE-like (~300 bp) and LINE-like (~6 kb) copies
+    # of per-family consensi, each copy independently diverged
+    for frac, unit, fams, key in ((dispersed_frac, 300, 8, "dispersed"),
+                                  (line_frac, 6000, 4, "line")):
+        total = int(L * frac)
+        if total < unit:
+            continue
+        n_copies = max(1, total // unit)
+        consensi = [rng.integers(0, 4, unit).astype(np.uint8)
+                    for _ in range(fams)]
+        fam = rng.integers(0, fams, n_copies)
+        pos = rng.integers(0, max(1, L - unit), n_copies)
+        div = rng.uniform(divergence[0], divergence[1], n_copies)
+        # LINE copies are frequently 5'-truncated (real-genome statistic
+        # that changes the occupancy curve: full-length copies are rare)
+        tr = (rng.integers(0, unit - 50, n_copies)
+              if unit > 1000 else np.zeros(n_copies, dtype=np.int64))
+        for i in range(n_copies):
+            c = _mutate(consensi[fam[i]][tr[i]:], div[i])
+            codes[pos[i]:pos[i] + len(c)] = c[:L - pos[i]]
+            stats[key] += 1
+
+    # tandem satellite arrays (alpha-satellite-like 171 bp units and short
+    # microsatellites), each array a lightly-diverging tiling of one unit
+    total = int(L * tandem_frac)
+    placed = 0
+    while placed < total:
+        u = int(rng.choice([2, 4, 6, 20, 171]))
+        unit = rng.integers(0, 4, u).astype(np.uint8)
+        arr_len = int(min(rng.integers(u * 10, 50_000), total - placed))
+        if arr_len < u * 2:
+            break
+        reps = -(-arr_len // u)
+        arr = _mutate(np.tile(unit, reps)[:arr_len], 0.02)
+        p = int(rng.integers(0, max(1, L - arr_len)))
+        codes[p:p + arr_len] = arr[:L - p]
+        placed += arr_len
+        stats["tandem"] += 1
+
+    # segmental duplications: multi-Mbp self-copies at 95-99% identity
+    total = int(L * segdup_frac)
+    placed = 0
+    while placed < total:
+        seg = int(min(rng.integers(500_000, 5_000_000), total - placed))
+        if seg < 100_000 or L < 2 * seg:
+            break
+        src = int(rng.integers(0, L - seg))
+        dst = int(rng.integers(0, L - seg))
+        codes[dst:dst + seg] = _mutate(codes[src:src + seg],
+                                       float(rng.uniform(0.01, 0.05)))
+        placed += seg
+        stats["segdup"] += 1
+    return stats
+
+
+def repeat_genome_fasta(rng, contigs=(2000, 1500), gc: float = 0.42,
+                        **repeat_kw) -> str:
+    """random_genome_fasta with plant_repeats applied per contig (tests and
+    sub-Gbp studies; at 3 Gbp build codes directly via plant_repeats)."""
+    parts = []
+    p = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])
+    for i, ln in enumerate(contigs):
+        codes = rng.choice(4, size=ln, p=p).astype(np.uint8)
+        plant_repeats(rng, codes, **repeat_kw)
+        chars = np.frombuffer(b"ACGT", dtype=np.uint8)[codes]
+        parts.append(f">chr{i + 1}\n{chars.tobytes().decode()}\n")
+    return "".join(parts)
+
+
 def random_genome_fasta(rng, contigs=(2000, 1500), gc: float = 0.42) -> str:
     """Random FASTA text for tests (vectorized; fine for 10^7+ bp)."""
     p = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])
