@@ -57,19 +57,28 @@ def edit_matrix(window: np.ndarray, read: np.ndarray) -> np.ndarray:
     """Full semi-global DP matrix D[i, j]: read[0:i] vs window ending at j.
 
     D[0, j] = 0 (free start anywhere in window); D[i, 0] = i.
-    O(m * w) -- oracle only.
-    """
+
+    Row-vectorized with the exact prefix-min identity: with
+    t[j] = min(D[i-1, j-1] + sub, D[i-1, j] + 1) and t[0] = D[i, 0] = i,
+    unrolling the left-neighbor dependency gives
+    D[i, j] = min_{k <= j} (t[k] + (j - k)), i.e. a running minimum of
+    t[k] - k -- bit-identical to the naive three-way recurrence (pinned by
+    tests/test_oracle_pipeline.py::test_edit_matrix_matches_naive), ~100x
+    faster, which is what makes >=500-read oracle differentials at 3 Gbp
+    tractable (VERDICT r3 #7)."""
     m, w = len(read), len(window)
     match = asym_match(window[None, :], read[:, None])  # [m, w]
     D = np.zeros((m + 1, w + 1), dtype=np.int32)
     D[:, 0] = np.arange(m + 1)
+    jr = np.arange(w + 1, dtype=np.int32)
+    t = np.empty(w + 1, dtype=np.int32)
     for i in range(1, m + 1):
-        for j in range(1, w + 1):
-            D[i, j] = min(
-                D[i - 1, j - 1] + (0 if match[i - 1, j - 1] else 1),
-                D[i - 1, j] + 1,   # read char unmatched (insertion in read)
-                D[i, j - 1] + 1,   # ref char skipped (deletion from ref)
-            )
+        prev = D[i - 1]
+        t[0] = i
+        np.minimum(prev[:-1] + (match[i - 1] == 0), prev[1:] + 1,
+                   out=t[1:], dtype=np.int32, casting="unsafe")
+        np.minimum.accumulate(t - jr, out=t)
+        D[i] = t + jr
     return D
 
 

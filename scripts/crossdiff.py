@@ -85,6 +85,9 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon site hook "
                          "overrides JAX_PLATFORMS, so an env var can't)")
+    ap.add_argument("--cache", default=None,
+                    help="explicit index artifact prefix (e.g. the 3.08 Gbp "
+                         "artifacts/idx_3g); the Gbp auto-tune is applied")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -98,11 +101,14 @@ def main():
                                                 simulate_reads_bulk)
 
     from bitmapperbs_tpu.utils.artifacts import find_artifact
-    name = {100_000_000: "idx_100m",
-            10_000_000: "profile_idx_10m"}.get(args.genome_bp)
-    cache = find_artifact(name) if name else None
-    if cache is None and name:
-        cache = os.path.join("/tmp", name)   # build-and-save location
+    if args.cache:
+        cache = args.cache
+    else:
+        name = {100_000_000: "idx_100m",
+                10_000_000: "profile_idx_10m"}.get(args.genome_bp)
+        cache = find_artifact(name) if name else None
+        if cache is None and name:
+            cache = os.path.join("/tmp", name)   # build-and-save location
     if cache and os.path.exists(cache + ".json"):
         idx = load_index(cache)
     else:
@@ -116,6 +122,12 @@ def main():
     cfg = AlignerConfig(max_errors=4, indels=True, read_len_bucket=96,
                         batch_size=B,
                         locate_flat_cap=args.flat_cap or 0)
+    if sum(idx.genome.lengths) > 512_000_000:
+        # Gbp auto-tune (cli.autotune_for_genome; PERF.md round-3 study)
+        cfg = cfg.replace(seed_ext_max=20, seed_ext_occ=4,
+                          max_candidates=128)
+        print(f"[crossdiff] {sum(idx.genome.lengths)/1e9:.2f} Gbp cache: "
+              "applied Gbp auto-tune (seed-ext 20/4, Kc128)", flush=True)
     keys = ("best_score", "best_bp", "best_anchor", "second_score",
             "overflow", "gdrop")
 

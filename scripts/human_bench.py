@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--batches", default="4096,16384")
     ap.add_argument("--pe", action="store_true", default=True)
     ap.add_argument("--no-pe", dest="pe", action="store_false")
+    ap.add_argument("--pbat", action="store_true", default=True)
+    ap.add_argument("--no-pbat", dest="pbat", action="store_false")
     args = ap.parse_args()
 
     from bitmapperbs_tpu.config import AlignerConfig
@@ -70,12 +72,15 @@ def main():
           flush=True)
     L = idx.genome.length
 
-    def se_run(batch, sims, label):
+    def se_run(batch, sims, label, pbat=False):
         # round-3 Gbp auto-tune (cli.autotune_for_genome; PERF.md study):
-        # adaptive seed extension + Kc128
+        # adaptive seed extension + Kc128 (+ PBAT flat-cap 192/3-chunks)
         cfg = AlignerConfig(max_errors=4, indels=True, read_len_bucket=96,
                             batch_size=batch, seed_ext_max=20,
-                            seed_ext_occ=4, max_candidates=128)
+                            seed_ext_occ=4, max_candidates=128,
+                            non_directional=pbat,
+                            locate_flat_cap=192 if pbat else 0,
+                            flat_chunks=3 if pbat else 1)
         arr, lengths = prepare_batch([s.codes for s in sims], 96, batch)
         arr, lengths = jnp.asarray(arr), jnp.asarray(lengths)
         out = map_batch_device(dix, cfg, arr, lengths)
@@ -111,6 +116,14 @@ def main():
                               sub_rate=0.01, indel_rate=0.005)
         sims = (sims * batch)[:batch]
         se_run(batch, sims, f"3.08G SE b={batch}")
+
+    if args.pbat:
+        batch = 4096
+        sims = simulate_reads(idx.genome, batch, read_len=90, seed=4,
+                              sub_rate=0.01, indel_rate=0.005,
+                              protocols=("OT", "OB", "CTOT", "CTOB"))
+        sims = (sims * batch)[:batch]
+        se_run(batch, sims, f"3.08G PBAT b={batch}", pbat=True)
 
     if args.pe:
         from bitmapperbs_tpu.models.paired import map_batch_pe_device

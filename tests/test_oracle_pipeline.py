@@ -208,3 +208,30 @@ def test_bulk_simulator_reads_map_correctly():
         true_fwd = int(idx.genome.offsets[ci[i]]) + int(coord[i])
         correct += abs(best.fwd_anchor - true_fwd) <= cfg.max_errors
     assert correct >= 36
+
+
+def test_edit_matrix_matches_naive(rng):
+    """The row-vectorized prefix-min DP is bit-identical to the naive
+    three-way recurrence (the frozen spec definition)."""
+    from bitmapperbs_tpu.oracle.align import asym_match, edit_matrix
+
+    def naive(window, read):
+        m, w = len(read), len(window)
+        match = asym_match(window[None, :], read[:, None])
+        D = np.zeros((m + 1, w + 1), dtype=np.int32)
+        D[:, 0] = np.arange(m + 1)
+        for i in range(1, m + 1):
+            for j in range(1, w + 1):
+                D[i, j] = min(
+                    D[i - 1, j - 1] + (0 if match[i - 1, j - 1] else 1),
+                    D[i - 1, j] + 1,
+                    D[i, j - 1] + 1)
+        return D
+
+    for _ in range(40):
+        m = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 56))
+        read = rng.integers(0, 5, m).astype(np.uint8)
+        window = rng.integers(0, 5, w).astype(np.uint8)
+        np.testing.assert_array_equal(edit_matrix(window, read),
+                                      naive(window, read))
