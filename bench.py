@@ -53,7 +53,7 @@ def _pause_background_builder() -> None:
         cmdline = open(f"/proc/{pid}/cmdline", "rb").read()
     except (OSError, ValueError):
         return
-    if b"build_big.py" not in cmdline:
+    if b"build_big.py" not in cmdline and b"build_repeat.py" not in cmdline:
         return
     os.kill(pid, signal.SIGSTOP)
     atexit.register(lambda: os.kill(pid, signal.SIGCONT))

@@ -81,14 +81,15 @@ def build_100m() -> None:
     log(f"100 Mbp: saved {prefix} ({idx.nbytes() / 1e9:.2f} GB)")
 
 
-# ---- 3 Gbp block checkpoints -------------------------------------------
+# ---- at-scale block checkpoints ------------------------------------------
 
-def _ckpt_dir(name: str, rate: int) -> str:
-    return os.path.join(artifacts_dir(), "ckpt_3g", f"{name}_r{rate}")
+def _ckpt_dir(name: str, rate: int, ns: str = "ckpt_3g") -> str:
+    return os.path.join(artifacts_dir(), ns, f"{name}_r{rate}")
 
 
-def _save_block_ckpt(name: str, rate: int, blk: PackedBlock) -> None:
-    d = _ckpt_dir(name, rate)
+def _save_block_ckpt(name: str, rate: int, blk: PackedBlock,
+                     ns: str = "ckpt_3g") -> None:
+    d = _ckpt_dir(name, rate, ns)
     tmp = d + ".tmp"
     os.makedirs(tmp, exist_ok=True)
     np.save(os.path.join(tmp, "cbase.npy"), blk.cbase)
@@ -103,8 +104,9 @@ def _save_block_ckpt(name: str, rate: int, blk: PackedBlock) -> None:
     os.replace(tmp, d)   # atomic: a torn checkpoint never has the final name
 
 
-def _load_block_ckpt(name: str, rate: int, mmap: bool) -> PackedBlock | None:
-    d = _ckpt_dir(name, rate)
+def _load_block_ckpt(name: str, rate: int, mmap: bool,
+                     ns: str = "ckpt_3g") -> PackedBlock | None:
+    d = _ckpt_dir(name, rate, ns)
     if not os.path.exists(os.path.join(d, "meta.json")):
         return None
     with open(os.path.join(d, "meta.json")) as f:
@@ -152,24 +154,32 @@ def _genome_3g() -> Genome:
     return genome
 
 
-def build_3g() -> None:
-    done = [find_artifact(n) for n in ("idx_3g", "idx_3g_r4")]
-    if all(done):
-        log("3.08 Gbp artifacts already present; skipping build")
-        idx = None
+def build_scale(stems_by_rate: dict, genome_fn, ns: str,
+                label: str, plane_cache: bool = True) -> None:
+    """Generic block-resumable at-scale build.
+
+    stems_by_rate: {sa_rate: artifact stem}; each (block, rate) packed
+    result checkpoints under <artifacts>/<ns>/ the moment it exists, so a
+    mid-build kill costs at most one SA-IS unit (SURVEY.md section 5.4:
+    the index is the checkpoint -- here made granular).
+    """
+    rates = sorted(stems_by_rate, reverse=True)
+    if all(find_artifact(s) for s in stems_by_rate.values()):
+        log(f"{label} artifacts already present; skipping build")
     else:
-        genome = _genome_3g()
-        log(f"3.08 Gbp: {sum(genome.lengths) / 1e9:.3f} Gbp, "
+        genome = genome_fn()
+        log(f"{label}: {sum(genome.lengths) / 1e9:.3f} Gbp, "
             f"{len(genome.lengths)} contigs")
         klt_k = default_klt_k(len(genome.codes) + 1)
         sha = hashlib.sha256(genome.codes.tobytes()).hexdigest()
 
-        blocks = {4: [], 8: []}
+        blocks = {r: [] for r in rates}
         for name in ("fwd", "rc"):
-            have = {r: _load_block_ckpt(name, r, mmap=True) for r in (8, 4)}
+            have = {r: _load_block_ckpt(name, r, mmap=True, ns=ns)
+                    for r in rates}
             if all(have.values()):
-                log(f"3.08 Gbp: block {name} loaded from checkpoints")
-                for r in (8, 4):
+                log(f"{label}: block {name} loaded from checkpoints")
+                for r in rates:
                     blocks[r].append(have[r])
                 continue
             conv = dna.ct_convert(genome.codes if name == "fwd"
@@ -177,26 +187,28 @@ def build_3g() -> None:
             text = np.concatenate([np.ascontiguousarray(conv, dtype=np.uint8),
                                    np.zeros(1, dtype=np.uint8)])
             t0 = time.time()
-            log(f"3.08 Gbp: SA-IS on block {name} (n={len(text)})")
+            log(f"{label}: SA-IS on block {name} (n={len(text)})")
             sa = sais.suffix_array(text)
-            log(f"3.08 Gbp: SA-IS {name} done in {time.time() - t0:.0f}s")
+            log(f"{label}: SA-IS {name} done in {time.time() - t0:.0f}s")
             del text
-            for rate in (8, 4):
+            for rate in rates:
                 if have[rate] is not None:
                     blocks[rate].append(have[rate])
                     continue
                 t0 = time.time()
                 blk = build_block(conv, sa=sa, sa_rate=rate, klt_k=klt_k)
-                _save_block_ckpt(name, rate, blk)
-                # reopen mmap-backed so four packed blocks (~22 GB total)
-                # never sit in RAM at once during the final saves
-                blocks[rate].append(_load_block_ckpt(name, rate, mmap=True))
+                _save_block_ckpt(name, rate, blk, ns=ns)
+                # reopen mmap-backed so the packed blocks never all sit
+                # in RAM at once during the final saves
+                blocks[rate].append(
+                    _load_block_ckpt(name, rate, mmap=True, ns=ns))
                 del blk
-                log(f"3.08 Gbp: packed block {name} sa_rate={rate} "
+                log(f"{label}: packed block {name} sa_rate={rate} "
                     f"in {time.time() - t0:.0f}s (checkpointed)")
             del sa, conv
 
-        for rate, stem in ((8, "idx_3g"), (4, "idx_3g_r4")):
+        for rate in rates:
+            stem = stems_by_rate[rate]
             prefix = os.path.join(artifacts_dir(), stem)
             if find_artifact(stem):
                 continue
@@ -211,15 +223,22 @@ def build_3g() -> None:
             idx = BSIndex(genome=genome, blocks=blocks[rate], meta=meta)
             save_index(idx, prefix)
             mark_done(prefix)
-            log(f"3.08 Gbp: saved {prefix} ({idx.nbytes() / 1e9:.2f} GB)")
+            log(f"{label}: saved {prefix} ({idx.nbytes() / 1e9:.2f} GB)")
 
-    # derived device-plane cache (shared by both artifacts via genome sha)
+    if not plane_cache:
+        return
+    # derived device-plane cache (shared across sa_rates via genome sha)
     from bitmapperbs_tpu.index.build import load_index
-    prefix = find_artifact("idx_3g")
+    prefix = find_artifact(stems_by_rate[rates[0]])
     if prefix:
         t0 = time.time()
         path = ensure_plane_cache(load_index(prefix))
-        log(f"3.08 Gbp: plane cache ready ({path}) in {time.time() - t0:.0f}s")
+        log(f"{label}: plane cache ready ({path}) in {time.time() - t0:.0f}s")
+
+
+def build_3g() -> None:
+    build_scale({8: "idx_3g", 4: "idx_3g_r4"}, _genome_3g, "ckpt_3g",
+                "3.08 Gbp")
 
 
 def main() -> None:
