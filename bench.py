@@ -181,8 +181,10 @@ def main():
     from bitmapperbs_tpu.utils.artifacts import find_artifact
 
     del dix
+    # 3 Gbp: prefer the sa_rate-4 artifact (+23% measured, round 4)
+    big3g = ("idx_3g_r4" if find_artifact("idx_3g_r4") else "idx_3g")
     for name, label in (("idx_100m", "100 Mbp"),
-                        ("idx_3g", "3.08 Gbp human-scale")):
+                        (big3g, "3.08 Gbp human-scale")):
         cache = find_artifact(name)
         if cache is None:
             continue

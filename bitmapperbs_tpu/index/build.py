@@ -427,10 +427,12 @@ def build_index(fasta, sa_rate: int | None = None,
                 build_mode: str = "auto", jobs: int = 1) -> BSIndex:
     """FASTA -> BSIndex (SURVEY.md call stack 3.1).
 
-    sa_rate default is genome-size-adaptive: small genomes afford dense SA
-    samples (rate 4: half the locate LF gathers for 1 byte/position/block);
-    large ones use DEFAULT_SA_RATE to bound sample memory (GRCh38 two-block
-    samples at rate 8 ~= 3.1 GB).
+    sa_rate default is 4 wherever the artifact fits a 16 GB-HBM chip:
+    halving the locate LF walk measured +23% SE and PE reads/s/chip at
+    3.08 Gbp (12.6 GB artifact, round-4 human_bench vs the rate-8 build;
+    outputs bit-identical).  Above ~3.5 Gbp the rate-4 artifact would
+    exceed HBM (~4.1 GB/Gbp), so DEFAULT_SA_RATE (8) caps sample memory;
+    `resample` can densify later if a bigger chip is available.
 
     build_mode: "sais" (in-RAM suffix array, ~12 B/char, fastest),
     "lowmem" (native dynamic-BWT insertion, ~1 B/char peak, no SA ever --
@@ -439,7 +441,8 @@ def build_index(fasta, sa_rate: int | None = None,
     """
     genome = parse_fasta(fasta)
     if sa_rate is None:
-        sa_rate = 4 if len(genome.codes) <= 1 << 27 else K.DEFAULT_SA_RATE
+        sa_rate = 4 if len(genome.codes) <= 3_500_000_000 \
+            else K.DEFAULT_SA_RATE
     mode = build_mode
     if mode == "auto":
         from bitmapperbs_tpu.index import sais as _sais
