@@ -171,9 +171,13 @@ def main():
         for o in outs:
             np.asarray(o["pair_valid"])
         dt = (time.perf_counter() - t0) / 4
-        n_prop = int(np.asarray(out["pair_valid"]).sum())
+        pv = np.asarray(out["pair_valid"])
+        # honest proper rate: rescue-branch pairs also emit FLAG_PROPER
+        # (models/pool._decide_pair; see scripts/pe_diagnose.py)
+        n_prop = int((pv | np.asarray(out["resc_valid"])).sum())
         print(f"3.08G PE b={pe_b}: {2*pe_b/dt:.0f} reads/s/chip "
-              f"({dt*1e3:.1f} ms) proper={n_prop}/{pe_b}", flush=True)
+              f"({dt*1e3:.1f} ms) proper={n_prop}/{pe_b} "
+              f"(join-only {int(pv.sum())})", flush=True)
 
 
 if __name__ == "__main__":
