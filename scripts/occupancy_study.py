@@ -111,6 +111,11 @@ def main():
                     help="seed_ext_max,seed_ext_occ (the Gbp auto-tune)")
     ap.add_argument("--no-ext", action="store_true")
     ap.add_argument("--kc", type=int, default=128)
+    ap.add_argument("--occ-cap", type=int, default=0,
+                    help="max_seed_occ override (0 = config default)")
+    ap.add_argument("--lb", type=int, default=0,
+                    help="locate_budget override (0 = config default)")
+    ap.add_argument("--num-seeds", type=int, default=0)
     ap.add_argument("--seed", type=int, default=5)
     args = ap.parse_args()
 
@@ -119,6 +124,12 @@ def main():
     cfg = AlignerConfig(max_errors=4, indels=True, read_len_bucket=96,
                         batch_size=args.n, seed_ext_max=ext_max,
                         seed_ext_occ=ext_occ, max_candidates=args.kc)
+    if args.occ_cap:
+        cfg = cfg.replace(max_seed_occ=args.occ_cap)
+    if args.lb:
+        cfg = cfg.replace(locate_budget=args.lb)
+    if args.num_seeds:
+        cfg = cfg.replace(num_seeds=args.num_seeds)
     idx = load_index(args.cache)
     gbp = sum(idx.genome.lengths) / 1e9
     sims = simulate_reads(idx.genome, args.n, read_len=90, seed=args.seed,
