@@ -45,6 +45,18 @@ class Genome:
         i = int(np.searchsorted(self.offsets, pos, side="right")) - 1
         return i, pos - int(self.offsets[i])
 
+    def rc_codes(self) -> np.ndarray:
+        """Reverse-complement codes, computed once and cached (contiguous).
+
+        The host finalize paths need rc(W) on every batch; recomputing it
+        per map_batch_* call costs 27 ms at 10 Mbp and ~9 s at 3 Gbp
+        (PERF.md round-4 e2e stage study)."""
+        rc = getattr(self, "_rc_codes", None)
+        if rc is None:
+            rc = np.ascontiguousarray(dna.revcomp(self.codes))
+            self._rc_codes = rc
+        return rc
+
     def packed_planes(self) -> dict[str, np.ndarray]:
         """Bit-packed planes of the original genome, both orientations.
 

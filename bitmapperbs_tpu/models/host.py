@@ -26,7 +26,6 @@ from bitmapperbs_tpu.models.pool import (_assemble_pair, _assemble_pe_local,
                                          _se_hit_from, device_results_to_hits,
                                          make_finalize_pool)
 from bitmapperbs_tpu.oracle.pipeline import Hit, finalize_hit
-from bitmapperbs_tpu.utils import dna
 
 
 def prepare_batch(reads, m_pad: int, batch: int | None = None):
@@ -81,7 +80,7 @@ def map_batch_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
     """
     quals = quals or [""] * len(reads)
     qnames = qnames or [f"r{i}" for i in range(len(reads))]
-    rc_ref = dna.revcomp(idx.genome.codes)
+    rc_ref = idx.genome.rc_codes()
     m_pad = cfg.read_len_bucket
     out_recs: list[SamRecord] = []
     futures = []
@@ -93,11 +92,13 @@ def map_batch_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
 
     def drain(item):
         lo, chunk, arr, lengths, out = item
-        out = _gdrop_fallback_se(dix, cfg, arr, lengths, out, dense_fn)
         # one pipelined device->host transfer (async copies for every leaf,
         # then block) -- per-key np.asarray costs a full tunnel round trip
-        # per array (~6x slower fetch, measured in PERF.md round 3)
+        # per array (~6x slower fetch, measured in PERF.md round 3); the
+        # gdrop flag is read from the fetched dict rather than a separate
+        # leaf fetch (a second ~12 ms round trip, round-4 e2e study)
         out_np = jax.device_get(out)
+        out_np = _gdrop_fallback_se(dix, cfg, arr, lengths, out_np, dense_fn)
         if stats is not None:
             stats.overflow_reads += int(out_np["overflow"][:len(chunk)].sum())
         task = (arr, lengths, len(chunk), quals[lo:lo + len(chunk)],
@@ -137,7 +138,7 @@ def _merge_where(sel, dense, fast):
     return out
 
 
-def _gdrop_fallback_se(dix, cfg: AlignerConfig, arr, lengths, out,
+def _gdrop_fallback_se(dix, cfg: AlignerConfig, arr, lengths, out_np,
                        dense_fn=None):
     """Re-run flat-buffer-overflow reads through the dense path.
 
@@ -146,16 +147,17 @@ def _gdrop_fallback_se(dix, cfg: AlignerConfig, arr, lengths, out,
     deterministic across batch compositions and shardings, every flagged
     read's result is replaced by the dense path's (the spec).  Unflagged
     reads are bit-identical between the two, so merging per read is exact.
+    out_np: the already-fetched (host) output dict.
     dense_fn: optional dense-path mapper (multi-chip CliMappers.se_dense).
     """
-    gdrop = np.asarray(out["gdrop"])
+    gdrop = out_np["gdrop"]
     if not (cfg.compact and gdrop.any()):
-        return out
+        return out_np
     if dense_fn is None:
         dense_fn = lambda a, l: map_batch_device(
             dix, cfg.replace(compact=False), a, l)
     dense = jax.device_get(dense_fn(jnp.asarray(arr), jnp.asarray(lengths)))
-    return _merge_where(gdrop, dense, out)
+    return _merge_where(gdrop, dense, out_np)
 
 
 # --------------------------------------------------------------------------
@@ -168,7 +170,7 @@ def map_batch_pe_tpu(idx: BSIndex, dix: DeviceIndex, cfg: AlignerConfig,
     """End-to-end device PE mapping -> SAM records (2 per pair)."""
     from bitmapperbs_tpu.models.paired import map_batch_pe_device
 
-    rc_ref = dna.revcomp(idx.genome.codes)
+    rc_ref = idx.genome.rc_codes()
     m_pad = cfg.read_len_bucket
     out_recs: list[SamRecord] = []
     futures = []

@@ -21,7 +21,6 @@ from bitmapperbs_tpu.models import native_finalize
 from bitmapperbs_tpu.models.finalize import (finalize_batch,
                                              finalize_batch_device)
 from bitmapperbs_tpu.oracle.pipeline import Hit, finalize_hit
-from bitmapperbs_tpu.utils import dna
 
 INF = K.INF_SCORE
 
@@ -109,7 +108,7 @@ def make_finalize_pool(idx: BSIndex, cfg: AlignerConfig, threads: int,
     codes_path = os.path.join(d, "codes.u8")
     rc_path = os.path.join(d, "rc.u8")
     idx.genome.codes.astype(np.uint8).tofile(codes_path)
-    dna.revcomp(idx.genome.codes).astype(np.uint8).tofile(rc_path)
+    idx.genome.rc_codes().tofile(rc_path)
     # the memmap files are ~2x genome size (6+ GB for GRCh38): remove the
     # temp dir when the pool shuts down (and at exit as a backstop)
     def _cleanup(path=d):

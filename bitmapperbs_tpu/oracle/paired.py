@@ -259,7 +259,7 @@ def map_pair(idx: BSIndex, rc_ref, cfg: AlignerConfig, r1, r2,
 
 def map_batch_pe(idx: BSIndex, cfg: AlignerConfig, pairs, quals=None,
                  qnames=None) -> list[SamRecord]:
-    rc_ref = dna.revcomp(idx.genome.codes)
+    rc_ref = idx.genome.rc_codes()
     out = []
     for i, (r1, r2) in enumerate(pairs):
         q = quals[i] if quals else ("", "")

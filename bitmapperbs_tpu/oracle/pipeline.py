@@ -260,7 +260,7 @@ def finalize_hit(idx: BSIndex, rc_ref: np.ndarray, cfg: AlignerConfig,
 def map_batch_se(idx: BSIndex, cfg: AlignerConfig, reads, quals=None,
                  qnames=None) -> list[SamRecord]:
     """Oracle end-to-end batch mapper -> SAM records (golden generator)."""
-    rc_ref = dna.revcomp(idx.genome.codes)
+    rc_ref = idx.genome.rc_codes()
     quals = quals or [""] * len(reads)
     qnames = qnames or [f"r{i}" for i in range(len(reads))]
     out = []

@@ -241,14 +241,27 @@ def build_3g() -> None:
                 "3.08 Gbp")
 
 
+def build_3g_r4_only() -> None:
+    """sa_rate-4 artifact only (the bench-preferred one; PERF.md round 4).
+
+    Skips the rate-8 packs/save (~50 min on this core) when wall time is
+    short; checkpoints share the ckpt_3g namespace so a later full build_3g
+    reuses every (block, 4) unit."""
+    build_scale({4: "idx_3g_r4"}, _genome_3g, "ckpt_3g", "3.08 Gbp")
+
+
+STAGES = {"100m": build_100m, "3g": build_3g, "3g_r4": build_3g_r4_only}
+
+
 def main() -> None:
     # pidfile lets bench.py SIGSTOP this exact builder during its timed
     # sections (the SA-IS working set evicts every cache and host-side
     # numbers drop ~4x under contention -- PERF.md round 3)
     with open("/tmp/build_big.pid", "w") as f:
         f.write(str(os.getpid()))
-    build_100m()
-    build_3g()
+    stages = sys.argv[1:] or ["100m", "3g"]
+    for s in stages:
+        STAGES[s]()
     log("all artifacts built")
 
 

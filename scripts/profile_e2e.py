@@ -42,10 +42,17 @@ def main():
     from bitmapperbs_tpu.utils.simulate import (random_genome_fasta,
                                                 simulate_reads)
 
+    t_start = time.time()
+
+    def mark(msg):
+        print(f"[{time.time() - t_start:6.0f}s] {msg}", flush=True)
+
     rng = np.random.default_rng(0)
     idx = build_index(random_genome_fasta(rng, contigs=(5_000_000,
                                                         5_000_000)))
+    mark("index built")
     dix = upload_index(idx)
+    mark("index uploaded")
     bucket, batch = 96, args.batch
     cfg = AlignerConfig(max_errors=4, indels=True, read_len_bucket=bucket,
                         batch_size=batch)
@@ -61,8 +68,10 @@ def main():
 
     # warm compile
     arr, lengths = prepare_batch(reads, bucket, batch)
+    mark("batch prepared; compiling")
     out = map_batch_device(dix, cfg, jnp.asarray(arr), jnp.asarray(lengths))
     np.asarray(out["best_score"])
+    mark("warm compile + first run done")
 
     it = args.iters
     stage = {}
@@ -114,6 +123,19 @@ def main():
     for rl in read_lists:
         map_batch_tpu(idx, dix, cfg, rl, quals, qnames)
     stage["e2e_map_batch_tpu"] = (time.perf_counter() - t0) / it
+
+    # steady state: ONE call spanning several batches, so the in-flight
+    # window (MAX_INFLIGHT) overlaps device compute with host finalize --
+    # the production shape (cli feeds whole read chunks through one call)
+    nb = 4
+    reads_n = [r for rl in read_lists for r in rl][: nb * batch]
+    while len(reads_n) < nb * batch:
+        reads_n.extend(reads_n[: nb * batch - len(reads_n)])
+    quals_n = ["I" * len(r) for r in reads_n]
+    qnames_n = [f"s{i}" for i in range(len(reads_n))]
+    t0 = time.perf_counter()
+    map_batch_tpu(idx, dix, cfg, reads_n, quals_n, qnames_n)
+    stage[f"e2e_steady_{nb}x"] = (time.perf_counter() - t0) / nb
 
     print(f"\n=== per-{batch}-read-batch stage times ===")
     for k, v in stage.items():
