@@ -176,7 +176,7 @@ def simulate_reads_bulk(genome: Genome, n: int, read_len: int = 100, *,
 def plant_repeats(rng, codes: np.ndarray, *, dispersed_frac: float = 0.27,
                   line_frac: float = 0.17, tandem_frac: float = 0.03,
                   segdup_frac: float = 0.05,
-                  divergence=(0.05, 0.15)) -> dict:
+                  divergence=(0.05, 0.15), record: list | None = None) -> dict:
     """Overwrite a random backbone with human-like repeat structure, in place.
 
     Uniform-random genomes have only 3-letter-alphabet statistics in their
@@ -190,6 +190,12 @@ def plant_repeats(rng, codes: np.ndarray, *, dispersed_frac: float = 0.27,
 
     codes must not contain the contig N padding yet (plant before padding)
     or may: N positions are simply overwritten.  Returns a stats dict.
+
+    record: optional list; every planted interval is appended as
+    (start, end, kind) with kind in {"dispersed","line","tandem","segdup"}
+    (segdups record both source and destination).  Recording consumes no
+    extra rng draws, so a replay with the same rng reproduces the same
+    genome bit-for-bit (scripts/rep_intervals.py relies on this).
     """
     L = len(codes)
     stats = {"dispersed": 0, "line": 0, "tandem": 0, "segdup": 0}
@@ -221,6 +227,10 @@ def plant_repeats(rng, codes: np.ndarray, *, dispersed_frac: float = 0.27,
             c = _mutate(consensi[fam[i]][tr[i]:], div[i])
             codes[pos[i]:pos[i] + len(c)] = c[:L - pos[i]]
             stats[key] += 1
+            if record is not None:
+                record.append((int(pos[i]),
+                               int(pos[i]) + min(len(c), L - int(pos[i])),
+                               key))
 
     # tandem satellite arrays (alpha-satellite-like 171 bp units and short
     # microsatellites), each array a lightly-diverging tiling of one unit
@@ -238,6 +248,8 @@ def plant_repeats(rng, codes: np.ndarray, *, dispersed_frac: float = 0.27,
         codes[p:p + arr_len] = arr[:L - p]
         placed += arr_len
         stats["tandem"] += 1
+        if record is not None:
+            record.append((p, p + min(arr_len, L - p), "tandem"))
 
     # segmental duplications: multi-Mbp self-copies at 95-99% identity
     total = int(L * segdup_frac)
@@ -252,6 +264,9 @@ def plant_repeats(rng, codes: np.ndarray, *, dispersed_frac: float = 0.27,
                                        float(rng.uniform(0.01, 0.05)))
         placed += seg
         stats["segdup"] += 1
+        if record is not None:
+            record.append((src, src + seg, "segdup"))
+            record.append((dst, dst + seg, "segdup"))
     return stats
 
 

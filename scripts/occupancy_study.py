@@ -117,6 +117,10 @@ def main():
                     help="locate_budget override (0 = config default)")
     ap.add_argument("--num-seeds", type=int, default=0)
     ap.add_argument("--seed", type=int, default=5)
+    ap.add_argument("--intervals", default=None,
+                    help="rep_intervals.npz (scripts/rep_intervals.py): "
+                         "also report survival conditioned on how much of "
+                         "each read lies inside planted repeats")
     args = ap.parse_args()
 
     ext_max, ext_occ = ((0, 0) if args.no_ext
@@ -155,6 +159,29 @@ def main():
           f"overflow reads {ovf.mean():.3f}")
     print(f"  true-locus survival {alive.mean():.4f}  "
           f"(upper bound on seeding recall)")
+
+    if args.intervals:
+        iv = np.load(args.intervals)
+        u_s, u_e = iv["union_starts"], iv["union_ends"]
+        # total overlap of [t, t+m) with the disjoint sorted union
+        t0 = np.array([int(idx.genome.offsets[s.contig]) + s.coord
+                       for s in sims], dtype=np.int64)
+        t1 = t0 + np.array([len(s.codes) for s in sims], dtype=np.int64)
+        lo = np.searchsorted(u_e, t0, side="right")
+        hi = np.searchsorted(u_s, t1, side="left")
+        ov = np.zeros(len(sims), dtype=np.int64)
+        for i in range(len(sims)):
+            if hi[i] > lo[i]:
+                ov[i] = np.minimum(u_e[lo[i]:hi[i]], t1[i]).sum() - \
+                        np.maximum(u_s[lo[i]:hi[i]], t0[i]).sum()
+        frac = ov / (t1 - t0)
+        for name, m in (("outside repeats      ", frac == 0),
+                        ("partial (<80% inside)",
+                         (frac > 0) & (frac < 0.8)),
+                        ("inside repeat (>=80%)", frac >= 0.8)):
+            if m.any():
+                print(f"  survival {name}: {alive[m].mean():.4f}  "
+                      f"(n={int(m.sum())})")
 
 
 if __name__ == "__main__":

@@ -35,6 +35,28 @@ def test_plant_repeats_heavy_tail():
     assert max_kmer_count(codes) > 10   # dispersed families dominate
 
 
+def test_plant_repeats_record_is_rng_neutral():
+    """record= must consume no rng draws and cover every changed base --
+    scripts/rep_intervals.py replays the generator with record= to recover
+    the planted intervals of an already-built genome, which is only sound
+    under both properties."""
+    rng1 = np.random.default_rng(3)
+    c1 = rng1.integers(0, 4, 2_000_000).astype(np.uint8)
+    backbone = c1.copy()
+    rng2 = np.random.default_rng(3)
+    c2 = rng2.integers(0, 4, 2_000_000).astype(np.uint8)
+    rec: list = []
+    plant_repeats(rng1, c1, record=rec)
+    plant_repeats(rng2, c2)
+    np.testing.assert_array_equal(c1, c2)
+    assert rec and all(0 <= s < e <= len(c1) for s, e, _ in rec)
+    covered = np.zeros(len(c1), dtype=bool)
+    for s, e, _ in rec:
+        covered[s:e] = True
+    changed = c1 != backbone
+    assert not (changed & ~covered).any()
+
+
 @pytest.fixture(scope="module")
 def rep_setup():
     rng = np.random.default_rng(5)
