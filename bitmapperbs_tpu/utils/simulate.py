@@ -284,6 +284,35 @@ def repeat_genome_fasta(rng, contigs=(2000, 1500), gc: float = 0.42,
     return "".join(parts)
 
 
+def random_genome(rng, contigs=(2000, 1500), gc: float = 0.42) -> Genome:
+    """Random genome built directly as a Genome (no FASTA text round trip).
+
+    Draws the SAME `rng.choice` stream per contig as random_genome_fasta,
+    so for a given seed the resulting codes are bit-identical to
+    `parse_fasta(random_genome_fasta(rng, ...))` -- but skips the GB-scale
+    string assembly + re-parse, which dominates at-scale genome generation
+    (~22 min of the 3.08 Gbp rebuild, scripts/build_big.py round 4)."""
+    from bitmapperbs_tpu.index.build import CONTIG_PAD
+
+    p = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])
+    pad = np.full(CONTIG_PAD, K.N_CODE, dtype=np.uint8)
+    pieces, offsets, lengths = [pad], [], []
+    pos = CONTIG_PAD
+    for ln in contigs:
+        codes = rng.choice(4, size=ln, p=p).astype(np.uint8)
+        offsets.append(pos)
+        lengths.append(ln)
+        pieces.append(codes)
+        pieces.append(pad)
+        pos += ln + CONTIG_PAD
+    return Genome(
+        names=[f"chr{i + 1}" for i in range(len(contigs))],
+        offsets=np.asarray(offsets, dtype=np.int64),
+        lengths=np.asarray(lengths, dtype=np.int64),
+        codes=np.concatenate(pieces),
+    )
+
+
 def random_genome_fasta(rng, contigs=(2000, 1500), gc: float = 0.42) -> str:
     """Random FASTA text for tests (vectorized; fine for 10^7+ bp)."""
     p = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])

@@ -43,7 +43,8 @@ from bitmapperbs_tpu.index import sais
 from bitmapperbs_tpu.index.device import ensure_plane_cache
 from bitmapperbs_tpu.utils import dna
 from bitmapperbs_tpu.utils.artifacts import artifacts_dir, find_artifact
-from bitmapperbs_tpu.utils.simulate import random_genome_fasta
+from bitmapperbs_tpu.utils.simulate import (random_genome,
+                                            random_genome_fasta)
 
 T0 = time.time()
 
@@ -138,11 +139,10 @@ def _genome_3g() -> Genome:
                       lengths=np.asarray(m["lengths"], dtype=np.int64),
                       codes=codes)
     rng = np.random.default_rng(3)
-    log("3.08 Gbp: generating 24-contig genome")
-    fa = random_genome_fasta(rng, contigs=GRCH38_LENGTHS)
-    log("3.08 Gbp: parsing")
-    genome = parse_fasta(fa)
-    del fa
+    log("3.08 Gbp: generating 24-contig genome (direct codes)")
+    # bit-identical to parse_fasta(random_genome_fasta(rng, ...)) -- same
+    # rng stream -- but without the ~22 min GB-scale FASTA round trip
+    genome = random_genome(rng, contigs=GRCH38_LENGTHS)
     genome.codes.tofile(cpath + ".tmp")
     os.replace(cpath + ".tmp", cpath)
     with open(mpath + ".tmp", "w") as f:

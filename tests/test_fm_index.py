@@ -171,3 +171,22 @@ def test_parallel_block_build(rng):
         assert (a.klt is None) == (b.klt is None)
         if a.klt is not None:
             assert (a.klt == b.klt).all()
+
+
+def test_random_genome_matches_fasta_round_trip(rng):
+    """random_genome (direct codes, used by the at-scale rebuild) is
+    bit-identical to parse_fasta(random_genome_fasta) at the same seed:
+    same rng stream, same CONTIG_PAD layout (scripts/build_big.py)."""
+    from bitmapperbs_tpu.index.build import parse_fasta
+    from bitmapperbs_tpu.utils.simulate import (random_genome,
+                                                random_genome_fasta)
+
+    seed = int(rng.integers(1 << 30))
+    contigs = (5000, 3777, 211)
+    g1 = random_genome(np.random.default_rng(seed), contigs=contigs)
+    g2 = parse_fasta(random_genome_fasta(np.random.default_rng(seed),
+                                         contigs=contigs))
+    assert g1.names == g2.names
+    np.testing.assert_array_equal(g1.offsets, g2.offsets)
+    np.testing.assert_array_equal(g1.lengths, g2.lengths)
+    np.testing.assert_array_equal(g1.codes, g2.codes)
