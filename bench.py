@@ -233,6 +233,32 @@ def main():
             sys.stderr.write(f"[bench] {label} genome "
                              f"({big.nbytes() / 1e9:.2f} GB index): "
                              f"{rps:.0f} reads/s/chip SE\n")
+            # paired-end at scale (round-5: the BASELINE metric is SE+PE;
+            # bench.py:226-231 was SE-only through round 4 -- VERDICT r4 #2)
+            pe_b = 2048
+            cfg_pe_b = cfg_b.replace(paired=True, min_insert=0,
+                                     max_insert=500, batch_size=pe_b)
+
+            def _pe_args_b(seed):
+                prs = simulate_pairs(big.genome, pe_b, read_len=90,
+                                     seed=seed, sub_rate=0.01,
+                                     indel_rate=0.005, min_insert=150,
+                                     max_insert=480)
+                a1, l1 = prepare_batch([p[0].codes for p in prs], 96, pe_b)
+                a2, l2 = prepare_batch([p[1].codes for p in prs], 96, pe_b)
+                return tuple(jnp.asarray(x) for x in (a1, l1, a2, l2))
+
+            pe_bb = [_pe_args_b(seed) for seed in (40, 41, 42, 43)]
+            warm_pe = map_batch_pe_device(dix_b, cfg_pe_b, *pe_bb[0])
+            np.asarray(warm_pe["pair_sum"])
+            t0 = time.perf_counter()
+            outs = [map_batch_pe_device(dix_b, cfg_pe_b, *a) for a in pe_bb[1:]]
+            for o in outs:
+                np.asarray(o["pair_sum"])
+            pe_rps_b = 2 * pe_b / ((time.perf_counter() - t0) / 3)
+            sys.stderr.write(f"[bench] {label} genome: "
+                             f"{pe_rps_b:.0f} reads/s/chip PE "
+                             f"({pe_rps_b / 2:.0f} pairs/s)\n")
             del dix_b, big
         except Exception as err:   # at-scale add-on must never kill the metric
             sys.stderr.write(f"[bench] {label} bench skipped: {err}\n")

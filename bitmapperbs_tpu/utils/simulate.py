@@ -12,7 +12,7 @@ import dataclasses
 import numpy as np
 
 from bitmapperbs_tpu import constants as K
-from bitmapperbs_tpu.index.build import Genome
+from bitmapperbs_tpu.index.build import CONTIG_PAD, Genome
 from bitmapperbs_tpu.utils import dna
 
 
@@ -292,8 +292,6 @@ def random_genome(rng, contigs=(2000, 1500), gc: float = 0.42) -> Genome:
     `parse_fasta(random_genome_fasta(rng, ...))` -- but skips the GB-scale
     string assembly + re-parse, which dominates at-scale genome generation
     (~22 min of the 3.08 Gbp rebuild, scripts/build_big.py round 4)."""
-    from bitmapperbs_tpu.index.build import CONTIG_PAD
-
     p = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])
     pad = np.full(CONTIG_PAD, K.N_CODE, dtype=np.uint8)
     pieces, offsets, lengths = [pad], [], []

@@ -8,8 +8,9 @@ The 3 Gbp build is BLOCK-RESUMABLE (VERDICT r3 #2): the expensive units
 are one SA-IS pass per block (~1.7 h each on this one-core VM) and one
 pack per (block, sa_rate) (~20 min each).  Each packed (block, rate)
 result is checkpointed to <artifacts>/ckpt_3g/<block>_r<rate>/ the moment
-it exists, and the parsed genome codes are checkpointed once (~15 min to
-regenerate), so a mid-build kill costs at most one SA-IS unit, not 4-5 h.
+it exists, the raw SA is checkpointed the moment SA-IS finishes (round 5:
+closes the ~30 min kill window between SA-IS and the first pack), and the
+genome codes are checkpointed once, so a mid-build kill costs minutes.
 
   1. 100 Mbp, 2x50 Mbp contigs, seed 7  -> idx_100m
      (same recipe as scripts/crossdiff.py so the caches are interchangeable)
@@ -124,8 +125,29 @@ def _load_block_ckpt(name: str, rate: int, mmap: bool,
     )
 
 
+def _sa_ckpt_path(name: str, ns: str) -> str:
+    return os.path.join(artifacts_dir(), ns, f"{name}_sa.npy")
+
+
+def _save_sa_ckpt(name: str, ns: str, sa: np.ndarray) -> None:
+    """Checkpoint the raw suffix array the moment SA-IS finishes.
+
+    Closes the resumability hole (VERDICT r4 weak #5): a kill between
+    "SA-IS done" and the first packed-block checkpoint used to re-run the
+    whole ~29 min SA-IS; now it costs only this write (~1 min at 3 Gbp,
+    24.7 GB int64).  Deleted once every sa_rate pack for the block is
+    checkpointed."""
+    path = _sa_ckpt_path(name, ns)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.save(f, sa)
+    os.replace(tmp, path)
+
+
 def _genome_3g() -> Genome:
-    """Parsed 3.08 Gbp genome, checkpointed (generate+parse is ~15 min)."""
+    """3.08 Gbp genome as direct codes, checkpointed (~5 min to regenerate;
+    build3g.log round 4 -- no FASTA round trip since commit b48341d)."""
     d = artifacts_dir()
     cpath = os.path.join(d, "ckpt_3g_codes.bin")
     mpath = os.path.join(d, "ckpt_3g_genome.json")
@@ -159,9 +181,10 @@ def build_scale(stems_by_rate: dict, genome_fn, ns: str,
     """Generic block-resumable at-scale build.
 
     stems_by_rate: {sa_rate: artifact stem}; each (block, rate) packed
-    result checkpoints under <artifacts>/<ns>/ the moment it exists, so a
-    mid-build kill costs at most one SA-IS unit (SURVEY.md section 5.4:
-    the index is the checkpoint -- here made granular).
+    result checkpoints under <artifacts>/<ns>/ the moment it exists, and
+    the raw SA checkpoints the moment SA-IS finishes, so a mid-build kill
+    costs minutes anywhere (SURVEY.md section 5.4: the index is the
+    checkpoint -- here made granular).
     """
     rates = sorted(stems_by_rate, reverse=True)
     if all(find_artifact(s) for s in stems_by_rate.values()):
@@ -184,13 +207,23 @@ def build_scale(stems_by_rate: dict, genome_fn, ns: str,
                 continue
             conv = dna.ct_convert(genome.codes if name == "fwd"
                                   else dna.revcomp(genome.codes))
-            text = np.concatenate([np.ascontiguousarray(conv, dtype=np.uint8),
-                                   np.zeros(1, dtype=np.uint8)])
-            t0 = time.time()
-            log(f"{label}: SA-IS on block {name} (n={len(text)})")
-            sa = sais.suffix_array(text)
-            log(f"{label}: SA-IS {name} done in {time.time() - t0:.0f}s")
-            del text
+            sa_path = _sa_ckpt_path(name, ns)
+            if os.path.exists(sa_path):
+                sa = np.load(sa_path)
+                log(f"{label}: SA for block {name} loaded from checkpoint")
+            else:
+                text = np.concatenate(
+                    [np.ascontiguousarray(conv, dtype=np.uint8),
+                     np.zeros(1, dtype=np.uint8)])
+                t0 = time.time()
+                log(f"{label}: SA-IS on block {name} (n={len(text)})")
+                sa = sais.suffix_array(text)
+                log(f"{label}: SA-IS {name} done in {time.time() - t0:.0f}s")
+                del text
+                t0 = time.time()
+                _save_sa_ckpt(name, ns, sa)
+                log(f"{label}: SA checkpoint {name} written "
+                    f"in {time.time() - t0:.0f}s")
             for rate in rates:
                 if have[rate] is not None:
                     blocks[rate].append(have[rate])
@@ -206,6 +239,9 @@ def build_scale(stems_by_rate: dict, genome_fn, ns: str,
                 log(f"{label}: packed block {name} sa_rate={rate} "
                     f"in {time.time() - t0:.0f}s (checkpointed)")
             del sa, conv
+            # every rate for this block is packed -- the SA ckpt is spent
+            if os.path.exists(_sa_ckpt_path(name, ns)):
+                os.remove(_sa_ckpt_path(name, ns))
 
         for rate in rates:
             stem = stems_by_rate[rate]
