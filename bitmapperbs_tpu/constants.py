@@ -121,8 +121,21 @@ FLAG_READ2 = 0x80
 # ---- MAPQ rule (frozen; our spec, SURVEY.md section 7 hard-part 3) ----------
 # d1 = best distance, d2 = second-best distinct-locus distance (None if absent)
 #   tie at best (ambiguous)      -> MAPQ 0
-#   gap = d2 - d1: 1 -> 20, 2 -> 30, 3 -> 40, >=4 or no second -> 42
-MAPQ_TABLE = {0: 0, 1: 20, 2: 30, 3: 40}
+#   gap = d2 - d1: 1 -> 10, 2 -> 20, 3 -> 30, >=4 or no second -> 42
+#
+# CALIBRATED round 5 (was 1->20, 2->30, 3->40): on a repeat-structured
+# genome (scripts/mapq_calibration.py, the adversarial class for unique-
+# call precision) the measured wrong-call rates were gap1 8.5% (phred 11),
+# gap2 0.9% (phred 21), gap3 0 at n=272, no-second 4e-4 (phred 34) -- the
+# old table over-promised by ~10 phred at every gap.  The new values state
+# the measured confidence, so a downstream MAPQ>=20 filter actually drops
+# the gap-1 calls that are wrong ~1-in-12 times on repeat genomes.  The
+# >=4/no-second cap stays 42 (the bowtie2/Bismark convention downstream
+# WGBS tooling expects); its measured phred on the repeat class is ~34.
+# Spec-change rule (CLAUDE.md): oracle and device consume this one table
+# (oracle/pipeline.py, models/finalize._MQ_TAB -> native finalize arg),
+# so both paths moved in lockstep.
+MAPQ_TABLE = {0: 0, 1: 10, 2: 20, 3: 30}
 MAPQ_MAX = 42
 
 

@@ -78,6 +78,9 @@ def main():
     ap.add_argument("--read-len", type=int, default=90)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--pe", action="store_true")
+    ap.add_argument("--pbat", action="store_true",
+                    help="non-directional mode: 4-frame simulated reads, "
+                         "PBAT pattern planes (SE layers only)")
     ap.add_argument("--flat-cap", type=int, default=0,
                     help="override the adaptive flat cap (small values make "
                          "the gdrop->dense fallback fire, exercising the "
@@ -120,12 +123,15 @@ def main():
     dix = upload_index(idx)
     B = args.batch
     cfg = AlignerConfig(max_errors=4, indels=True, read_len_bucket=96,
-                        batch_size=B,
+                        batch_size=B, non_directional=args.pbat,
                         locate_flat_cap=args.flat_cap or 0)
     if sum(idx.genome.lengths) > 512_000_000:
-        # Gbp auto-tune (cli.autotune_for_genome; PERF.md round-3 study)
+        # Gbp auto-tune (cli.autotune_for_genome; PERF.md round-3 study;
+        # PBAT additionally gets the 192-slot/3-chunk flat buffer)
         cfg = cfg.replace(seed_ext_max=20, seed_ext_occ=4,
                           max_candidates=128)
+        if args.pbat and not args.flat_cap:
+            cfg = cfg.replace(locate_flat_cap=192, flat_chunks=3)
         print(f"[crossdiff] {sum(idx.genome.lengths)/1e9:.2f} Gbp cache: "
               "applied Gbp auto-tune (seed-ext 20/4, Kc128)", flush=True)
     keys = ("best_score", "best_bp", "best_anchor", "second_score",
@@ -134,9 +140,10 @@ def main():
     if args.pe:
         return pe_crossdiff(args, idx, dix, cfg)
 
+    protos = (("OT", "OB", "CTOT", "CTOB") if args.pbat else ("OT", "OB"))
     codes, ci, coord, si = simulate_reads_bulk(
         idx.genome, args.n, read_len=args.read_len, seed=args.seed,
-        sub_rate=0.01)
+        sub_rate=0.01, protocols=protos)
     lengths = np.full(args.n, args.read_len, np.int32)
 
     # ---- layer 1: compact vs dense, full corpus ---------------------------
