@@ -37,26 +37,35 @@ def _probe_device(timeout_s: int = 240) -> None:
 
 
 def _pause_background_builder() -> None:
-    """SIGSTOP a running scripts/build_big.py for the bench's duration.
+    """SIGSTOP running at-scale builders for the bench's duration.
 
-    The at-scale index builder (pidfile /tmp/build_big.pid) has a
-    cache-evicting multi-GB working set; host-side stages measure ~4x
-    slower under that contention.  The pid is verified against
-    /proc/<pid>/cmdline (exact process, never a pattern) and resumed at
-    exit."""
+    The at-scale index builders (pidfile /tmp/build_big.pid, one pid per
+    line -- several can run in a round) have cache-evicting multi-GB
+    working sets; host-side stages measure ~4x slower under that
+    contention.  Every pid is verified against /proc/<pid>/cmdline (exact
+    process, never a pattern) and resumed at exit."""
     import atexit
     import os
     import signal
 
     try:
-        pid = int(open("/tmp/build_big.pid").read().strip())
-        cmdline = open(f"/proc/{pid}/cmdline", "rb").read()
-    except (OSError, ValueError):
+        lines = open("/tmp/build_big.pid").read().split()
+    except OSError:
         return
-    if b"build_big.py" not in cmdline and b"build_repeat.py" not in cmdline:
-        return
-    os.kill(pid, signal.SIGSTOP)
-    atexit.register(lambda: os.kill(pid, signal.SIGCONT))
+    # "lowmem_bench" (no .py) also matches its python -c build children,
+    # whose argv carries the /tmp/lowmem_bench/... output prefix
+    builders = (b"build_big.py", b"build_repeat.py", b"build_repeat3g.py",
+                b"lowmem_bench")
+    for tok in lines:
+        try:
+            pid = int(tok)
+            cmdline = open(f"/proc/{pid}/cmdline", "rb").read()
+        except (OSError, ValueError):
+            continue
+        if not any(b in cmdline for b in builders):
+            continue
+        os.kill(pid, signal.SIGSTOP)
+        atexit.register(lambda p=pid: os.kill(p, signal.SIGCONT))
 
 
 def main():

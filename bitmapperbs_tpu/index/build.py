@@ -75,7 +75,13 @@ class Genome:
 
 
 def parse_fasta(path_or_text) -> Genome:
-    """Multi-contig FASTA -> Genome with CONTIG_PAD Ns around each contig."""
+    """Multi-contig FASTA -> Genome with CONTIG_PAD Ns around each contig.
+
+    A Genome passes through unchanged, so build_index() also accepts
+    direct-codes genomes (utils/simulate.random_genome) without a GB-scale
+    FASTA round trip."""
+    if isinstance(path_or_text, Genome):
+        return path_or_text
     if isinstance(path_or_text, (str, os.PathLike)) and os.path.exists(path_or_text):
         import gzip
 

@@ -63,6 +63,25 @@ def log(msg: str) -> None:
     print(f"[{time.time() - T0:8.0f}s] {msg}", flush=True)
 
 
+def register_builder_pid() -> None:
+    """Append this pid to /tmp/build_big.pid (one pid per line, dead pids
+    pruned) so bench.py can SIGSTOP every running builder during its timed
+    sections -- several builders can coexist in a round."""
+    path = "/tmp/build_big.pid"
+    pids = []
+    try:
+        for tok in open(path).read().split():
+            if os.path.exists(f"/proc/{int(tok)}"):
+                pids.append(tok)
+    except (OSError, ValueError):
+        pass
+    me = str(os.getpid())
+    if me not in pids:
+        pids.append(me)
+    with open(path, "w") as f:
+        f.write("\n".join(pids) + "\n")
+
+
 def mark_done(prefix: str) -> None:
     with open(prefix + ".done", "w") as f:
         f.write("ok\n")
@@ -293,8 +312,7 @@ def main() -> None:
     # pidfile lets bench.py SIGSTOP this exact builder during its timed
     # sections (the SA-IS working set evicts every cache and host-side
     # numbers drop ~4x under contention -- PERF.md round 3)
-    with open("/tmp/build_big.pid", "w") as f:
-        f.write(str(os.getpid()))
+    register_builder_pid()
     stages = sys.argv[1:] or ["100m", "3g"]
     for s in stages:
         STAGES[s]()

@@ -29,7 +29,8 @@ import numpy as np
 from bitmapperbs_tpu.index.build import CONTIG_PAD, Genome
 from bitmapperbs_tpu.utils.artifacts import artifacts_dir
 from bitmapperbs_tpu.utils.simulate import plant_repeats
-from build_big import GRCH38_LENGTHS, build_scale, log
+from build_big import (GRCH38_LENGTHS, build_scale, log,
+                       register_builder_pid)
 
 SEED = 13
 
@@ -83,8 +84,7 @@ def _genome_3g_rep() -> Genome:
 
 
 def main() -> None:
-    with open("/tmp/build_big.pid", "w") as f:   # bench.py SIGSTOP hook
-        f.write(str(os.getpid()))
+    register_builder_pid()   # bench.py SIGSTOP hook
     build_scale({4: "idx_3g_rep_r4"}, _genome_3g_rep, "ckpt_3g_rep",
                 "3.08 Gbp repeat")
     log("3 Gbp repeat artifact built")
