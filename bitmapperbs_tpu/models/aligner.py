@@ -442,8 +442,12 @@ def candidate_grids_compact(dix: DeviceIndex, cfg: AlignerConfig, reads,
     cand = jnp.where(keep, anchS, 0)
 
     planes3 = jnp.stack(verify.pack_codes(frame_reads), axis=2)  # B,F,3,Wd
-    rp = planes3.reshape(R, 3, Wd)[rowC]                          # CAP,3,Wd
-    d0, d1, dn = rp[:, 0], rp[:, 1], rp[:, 2]
+    # gather flat (CAP, 3*Wd) rows, not (CAP, 3, Wd): TPU tiling pads the
+    # trailing (3, Wd=3) dims to (4, 128) -- a 57x expansion that costs
+    # 4 GB of HBM temp at b=16k on the 3 Gbp index (measured OOM, round 5).
+    # The flat row pads 9->128 (4x less); values are bit-identical.
+    rp = planes3.reshape(R, 3 * Wd)[rowC]                         # CAP,3*Wd
+    d0, d1, dn = rp[:, :Wd], rp[:, Wd:2 * Wd], rp[:, 2 * Wd:]
     lenmask = verify.length_mask(lenS, m)                        # CAP,Wd
     padv = ~lenmask
 

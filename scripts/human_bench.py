@@ -130,7 +130,10 @@ def main():
         sims = simulate_reads(idx.genome, batch, read_len=90, seed=1,
                               sub_rate=0.01, indel_rate=0.005)
         sims = (sims * batch)[:batch]
-        se_run(batch, sims, f"3.08G SE b={batch}")
+        try:   # sections are independent: an HBM OOM at one batch size
+            se_run(batch, sims, f"3.08G SE b={batch}")
+        except Exception as err:
+            print(f"3.08G SE b={batch} FAILED: {str(err)[:200]}", flush=True)
 
     if args.pbat:
         batch = 4096
@@ -138,7 +141,10 @@ def main():
                               sub_rate=0.01, indel_rate=0.005,
                               protocols=("OT", "OB", "CTOT", "CTOB"))
         sims = (sims * batch)[:batch]
-        se_run(batch, sims, f"3.08G PBAT b={batch}", pbat=True)
+        try:
+            se_run(batch, sims, f"3.08G PBAT b={batch}", pbat=True)
+        except Exception as err:
+            print(f"3.08G PBAT FAILED: {str(err)[:200]}", flush=True)
 
     if args.pe:
         from bitmapperbs_tpu.models.paired import map_batch_pe_device

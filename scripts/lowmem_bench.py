@@ -44,9 +44,12 @@ t0 = time.time()
 idx = build_index(genome, sa_rate=8, build_mode=mode)
 dt = time.time() - t0
 save_index(idx, out_prefix)
-rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6  # GB
-print(f"RESULT {mode} n_bp={n_bp} wall_s={dt:.0f} peak_rss_gb={rss:.2f}",
-      flush=True)
+ru = resource.getrusage(resource.RUSAGE_SELF)
+# cpu_s is the honest cost on this one-core VM: wall_s is polluted by
+# nice-19 contention and bench.py SIGSTOPs
+print(f"RESULT {mode} n_bp={n_bp} wall_s={dt:.0f} "
+      f"cpu_s={ru.ru_utime + ru.ru_stime:.0f} "
+      f"peak_rss_gb={ru.ru_maxrss / 1e6:.2f}", flush=True)
 """
 
 
