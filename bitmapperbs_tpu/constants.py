@@ -102,8 +102,15 @@ DEFAULT_SA_RATE = 8
 # fixed cost in the seeding stage.  Entries store the same frozen-on-empty
 # semantics as the search loop, so KLT-initialized search is bit-identical.
 # k is a per-index build parameter; 14 -> 3^14 * 2 u32 = 38 MB per block
-# (each +1 of k trades HBM and build time for one serial occ gather per seed).
+# (each +1 of k trades HBM and build time for one serial occ gather per
+# seed).  Round-5 sweep on the 3 Gbp sa_rate-4 artifact (human_bench
+# --klt): 14 -> 15,084 reads/s/chip, 15 -> 15,264, 16 -> 15,565 (+3.2%,
+# outputs identical), table 38 -> 689 MB -- trivially affordable next to a
+# 12.6 GB index, so Gbp-scale builds default to 16; small genomes keep 14
+# (a 689 MB table beside a 0.5 GB index is wasted HBM for the same +3%).
 KLT_MAX_K = 14
+KLT_MAX_K_GBP = 16          # genomes over KLT_GBP_THRESHOLD bp
+KLT_GBP_THRESHOLD = 512_000_000
 
 # ---- score sentinel (device pipelines and host decoding share it) -------
 INF_SCORE = 1 << 20

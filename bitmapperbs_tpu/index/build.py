@@ -185,10 +185,13 @@ def build_klt(block: "PackedBlock", k: int) -> np.ndarray:
 
 
 def default_klt_k(n: int) -> int:
-    """Table depth: <= KLT_MAX_K and no deeper than log3(n) (beyond that
-    nearly all entries are empty and the table is wasted memory)."""
+    """Table depth: no deeper than log3(n) (beyond that nearly all entries
+    are empty and the table is wasted memory), capped at KLT_MAX_K -- or
+    KLT_MAX_K_GBP for Gbp-scale texts, where the round-5 sweep measured
+    +3.2% reads/s/chip at 689 MB (constants.py)."""
+    cap = (K.KLT_MAX_K_GBP if n > K.KLT_GBP_THRESHOLD else K.KLT_MAX_K)
     k = 0
-    while 3 ** (k + 1) <= n and k < K.KLT_MAX_K:
+    while 3 ** (k + 1) <= n and k < cap:
         k += 1
     return k
 
