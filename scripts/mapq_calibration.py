@@ -79,6 +79,10 @@ def main():
     ap.add_argument("--read-len", type=int, default=90)
     ap.add_argument("--pe", action="store_true")
     ap.add_argument("--json", default=None, help="also dump bins as JSON")
+    ap.add_argument("--overflow-split", action="store_true",
+                    help="SE only: cross-tab wrong calls by the per-read "
+                         "candidate-overflow flag (is the cap-42 residual "
+                         "concentrated in overflowed reads?)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -126,6 +130,7 @@ def main():
             done += m
         out = report(bins, f"PE n={2 * args.n}")
     else:
+        ovf_bins = {}   # (mapq, overflowed) -> [calls, wrong]
         done = 0
         while done < args.n:
             m = min(args.batch * 4, args.n - done)
@@ -134,11 +139,38 @@ def main():
                                   indel_rate=0.005)
             recs = map_batch_tpu(idx, dix, cfg, [s.codes for s in sims],
                                  [s.qual for s in sims])
-            for s, rec in zip(sims, recs):
+            ovf = np.zeros(m, bool)
+            if args.overflow_split:
+                import jax.numpy as jnp
+                from bitmapperbs_tpu.models.aligner import map_batch_device
+                from bitmapperbs_tpu.models.host import prepare_batch
+                for lo in range(0, m, args.batch):
+                    chunk = sims[lo:lo + args.batch]
+                    a, ln = prepare_batch([s.codes for s in chunk],
+                                          cfg.read_len_bucket, args.batch)
+                    o = map_batch_device(dix, cfg, jnp.asarray(a),
+                                         jnp.asarray(ln))
+                    ovf[lo:lo + len(chunk)] = np.asarray(
+                        o["overflow"])[:len(chunk)]
+            for s, rec, ov in zip(sims, recs, ovf):
                 _tally(bins, rec, (s.contig, s.coord, s.is_reverse),
                        names, e)
+                if args.overflow_split and not rec.flag & K.FLAG_UNMAPPED:
+                    b = ovf_bins.setdefault((rec.mapq, bool(ov)), [0, 0])
+                    b[0] += 1
+                    ok = (rec.rname == names[s.contig]
+                          and abs((rec.pos - 1) - s.coord) <= e
+                          and bool(rec.flag & K.FLAG_REVERSE)
+                          == s.is_reverse)
+                    b[1] += not ok
             done += m
         out = report(bins, f"SE n={args.n}")
+        if args.overflow_split:
+            print("\ncross-tab (mapq, overflowed) -> calls wrong:")
+            for key in sorted(ovf_bins):
+                n_c, w = ovf_bins[key]
+                print(f"  mapq={key[0]:>2} ovf={int(key[1])}: "
+                      f"{n_c:>7} {w:>5}  ({w / n_c:.5f})")
 
     if args.json:
         with open(args.json, "w") as f:
