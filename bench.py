@@ -208,10 +208,13 @@ def main():
     from bitmapperbs_tpu.utils.artifacts import find_artifact
 
     del dix
-    # 3 Gbp: prefer the sa_rate-4 artifact (+23% measured, round 4)
+    # 3 Gbp: prefer the sa_rate-4 artifact (+23% measured, round 4);
+    # the repeat-structured artifact is the honest adaptive-seeding class
+    # (round 5) -- same contig profile, so its pipeline compile is shared
     big3g = ("idx_3g_r4" if find_artifact("idx_3g_r4") else "idx_3g")
     for name, label in (("idx_100m", "100 Mbp"),
-                        (big3g, "3.08 Gbp human-scale")):
+                        (big3g, "3.08 Gbp human-scale"),
+                        ("idx_3g_rep_r4", "3.08 Gbp repeat-structured")):
         cache = find_artifact(name)
         if cache is None:
             continue
