@@ -547,6 +547,20 @@ def load_index(prefix: str, mmap: bool = True) -> BSIndex:
     ver = manifest["version"]
     if ver == INDEX_VERSION:
         raw = np.memmap(prefix + ".bin", dtype=np.uint8, mode="r")
+        try:
+            # async sequential readahead (page cache is per-inode, so a
+            # separate fd works): simulate/finalize/upload touch the mmap
+            # in random order, and cold demand-paging a 12.6 GB artifact
+            # one 4K fault at a time measured 30s-30min (round 5, depending
+            # on page-cache state); the WILLNEED hint streams it in at
+            # disk-sequential speed without blocking this call
+            fd = os.open(prefix + ".bin", os.O_RDONLY)
+            try:
+                os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_WILLNEED)
+            finally:
+                os.close(fd)
+        except (AttributeError, OSError):
+            pass
         z = {}
         for name, seg in manifest["segments"].items():
             dt = np.dtype(seg["dtype"])
