@@ -198,6 +198,17 @@ def main():
     map_batch_se(idx, cfg, reads[:n_o])
     oracle_rps = n_o / (time.perf_counter() - t0)
 
+    # the driver metric line prints BEFORE the at-scale add-on: the 3 Gbp
+    # rows recompile in every fresh process (~5 min each; the remote AOT
+    # path bypasses the persistent cache -- PERF.md round 5), so a driver
+    # timeout there must not cost the metric itself
+    print(json.dumps({
+        "metric": "reads_per_second_per_chip",
+        "value": round(device_rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(device_rps / oracle_rps, 2),
+    }), flush=True)
+
     # realistic-genome-scale numbers (stderr; the driver metric line stays
     # the 10 Mbp workload for round-over-round comparability).  Uses the
     # persistent artifact caches when present -- a 100 Mbp or 3.08 Gbp
@@ -274,13 +285,6 @@ def main():
             del dix_b, big
         except Exception as err:   # at-scale add-on must never kill the metric
             sys.stderr.write(f"[bench] {label} bench skipped: {err}\n")
-
-    print(json.dumps({
-        "metric": "reads_per_second_per_chip",
-        "value": round(device_rps, 1),
-        "unit": "reads/s",
-        "vs_baseline": round(device_rps / oracle_rps, 2),
-    }))
 
 
 if __name__ == "__main__":
