@@ -38,8 +38,9 @@ import numpy as np
 from bitmapperbs_tpu import constants as K
 from bitmapperbs_tpu.index.build import (BSIndex, INDEX_VERSION, CONTIG_PAD,
                                          Genome, PackedBlock, build_block,
-                                         build_index, default_klt_k,
-                                         parse_fasta, save_index)
+                                         build_index, build_klt,
+                                         default_klt_k, parse_fasta,
+                                         save_index)
 from bitmapperbs_tpu.index import sais
 from bitmapperbs_tpu.index.device import ensure_plane_cache
 from bitmapperbs_tpu.utils import dna
@@ -219,10 +220,24 @@ def build_scale(stems_by_rate: dict, genome_fn, ns: str,
         for name in ("fwd", "rc"):
             have = {r: _load_block_ckpt(name, r, mmap=True, ns=ns)
                     for r in rates}
+            def ensure_klt(blk, r):
+                """Checkpoints can predate a KLT-depth default change
+                (round 5: Gbp cap 14 -> 16); rebuild just the table so
+                the artifact stays internally consistent."""
+                if blk.klt_k == klt_k:
+                    return blk
+                t0 = time.time()
+                blk.klt = build_klt(blk, klt_k)
+                blk.klt_k = klt_k
+                _save_block_ckpt(name, r, blk, ns=ns)
+                log(f"{label}: block {name} r{r} KLT rebuilt at "
+                    f"k={klt_k} in {time.time() - t0:.0f}s")
+                return _load_block_ckpt(name, r, mmap=True, ns=ns)
+
             if all(have.values()):
                 log(f"{label}: block {name} loaded from checkpoints")
                 for r in rates:
-                    blocks[r].append(have[r])
+                    blocks[r].append(ensure_klt(have[r], r))
                 continue
             conv = dna.ct_convert(genome.codes if name == "fwd"
                                   else dna.revcomp(genome.codes))
@@ -245,7 +260,7 @@ def build_scale(stems_by_rate: dict, genome_fn, ns: str,
                     f"in {time.time() - t0:.0f}s")
             for rate in rates:
                 if have[rate] is not None:
-                    blocks[rate].append(have[rate])
+                    blocks[rate].append(ensure_klt(have[rate], rate))
                     continue
                 t0 = time.time()
                 blk = build_block(conv, sa=sa, sa_rate=rate, klt_k=klt_k)
