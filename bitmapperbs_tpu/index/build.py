@@ -184,6 +184,19 @@ def build_klt(block: "PackedBlock", k: int) -> np.ndarray:
     return np.stack([sp, ep], axis=1).astype(np.uint32)
 
 
+def _mem_available_bytes() -> int | None:
+    """Linux MemAvailable in bytes; None when undeterminable (callers
+    should then choose the bounded-RAM path)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return None
+
+
 def default_klt_k(n: int) -> int:
     """Table depth: no deeper than log3(n) (beyond that nearly all entries
     are empty and the table is wasted memory), capped at KLT_MAX_K -- or
@@ -455,10 +468,12 @@ def build_index(fasta, sa_rate: int | None = None,
     exceed HBM (~4.1 GB/Gbp), so DEFAULT_SA_RATE (8) caps sample memory;
     `resample` can densify later if a bigger chip is available.
 
-    build_mode: "sais" (in-RAM suffix array, ~12 B/char, fastest),
-    "lowmem" (native dynamic-BWT insertion, ~1 B/char peak, no SA ever --
-    the pSAscan role for whole-genome builds on small hosts), or "auto"
-    (lowmem for texts over 512 Mbp when the native library is present).
+    build_mode: "sais" (in-RAM suffix array, ~29 B/char peak measured at
+    1.03 Gbp, fastest), "lowmem" (native dynamic-BWT insertion, ~11 B/char
+    peak, no SA ever -- the pSAscan role for whole-genome builds on small
+    hosts; byte-identical artifacts, 4.2x the CPU), or "auto" (RAM-aware
+    for texts over 512 Mbp: sais when MemAvailable fits its measured peak
+    with 25% headroom, else lowmem).
     """
     genome = parse_fasta(fasta)
     if sa_rate is None:
@@ -469,8 +484,19 @@ def build_index(fasta, sa_rate: int | None = None,
         from bitmapperbs_tpu.index import sais as _sais
         lib = _sais._native_lib()
         big = len(genome.codes) > (1 << 29)
-        mode = "lowmem" if (big and lib is not None
-                            and hasattr(lib, "bwtinc_build")) else "sais"
+        if big and lib is not None and hasattr(lib, "bwtinc_build"):
+            # RAM-aware (round 5, measured at 1.03 Gbp): in-RAM SA-IS is
+            # 4.2x faster (1487s vs 6211s CPU) but peaks at ~29 B/char
+            # (29.7 GB) vs lowmem's ~11 B/char (11.45 GB); artifacts are
+            # byte-identical (scripts/lowmem_bench.py).  Prefer sais
+            # whenever the host comfortably fits it; lowmem is the
+            # bounded-RAM fallback (the pSAscan role, SURVEY.md C4).
+            avail = _mem_available_bytes()
+            need = int(29 * 1.25 * (len(genome.codes) + 1))
+            mode = ("sais" if avail is not None and avail > need
+                    else "lowmem")
+        else:
+            mode = "sais"
     ct_fwd = dna.ct_convert(genome.codes)
     ct_rc = dna.ct_convert(dna.revcomp(genome.codes))
     if klt_k is None:
