@@ -137,6 +137,21 @@ def test_methylation_context_calls(idx):
             assert ch.lower() == want, (rec.qname, k, ch, want)
 
 
+def test_mapq_spec_values():
+    """Pin the round-5 CALIBRATED gap table (constants.py: measured
+    wrong-call rates on repeat genomes, scripts/mapq_calibration.py).
+    Oracle and device share this one table, so golden differentials alone
+    would not catch an accidental edit to it."""
+    from bitmapperbs_tpu.constants import mapq_from_gap
+
+    assert mapq_from_gap(2, 2) == 0        # tie = ambiguous
+    assert mapq_from_gap(1, 2) == 10       # gap 1 -> phred ~11 measured
+    assert mapq_from_gap(1, 3) == 20       # gap 2 -> phred ~17-21
+    assert mapq_from_gap(0, 3) == 30       # gap 3
+    assert mapq_from_gap(0, 4) == 42       # gap >= 4 -> cap
+    assert mapq_from_gap(0, None) == 42    # no second-best -> cap
+
+
 def test_ambiguous_repeat_gets_mapq0():
     rng = np.random.default_rng(11)
     unit = dna.decode(rng.choice(4, size=300).astype(np.uint8))
