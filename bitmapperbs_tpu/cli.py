@@ -224,6 +224,27 @@ def autotune_for_genome(cfg, args, genome_bp: int):
     if genome_bp <= 512_000_000:
         return cfg
     tuned = []
+    # The small-genome presets are HARMFUL at Gbp scale (measured on the
+    # 3 Gbp repeat artifact, round 5): --fast's tiny caps are no faster
+    # (the pipeline is gather-bound, not verify-bound: 14.6k vs 15.3k
+    # default) at recall 0.83, and --sensitive's occ/LB flood gdrops 14%
+    # of reads into host dense reruns (device recall 0.77).  Remap them
+    # onto the adaptive-seeding regime's real lever, the candidate cap:
+    # the measured Kc sweep (Kc64 / 128 / 256-2chunks) is monotone in
+    # recall at ~1% throughput steps.
+    explicit_kc = getattr(args, "max_candidates", None) is not None
+    if getattr(args, "fast", False):
+        cfg = cfg.replace(max_seed_occ=128, locate_budget=256)
+        if not explicit_kc:
+            cfg = cfg.replace(max_candidates=64)
+        tuned.append("fast -> Kc64 (Gbp regime)")
+    if getattr(args, "sensitive", False):
+        cfg = cfg.replace(max_seed_occ=128, locate_budget=256)
+        if not explicit_kc:
+            cfg = cfg.replace(max_candidates=256)
+        if getattr(args, "flat_chunks", None) is None:
+            cfg = cfg.replace(flat_chunks=max(cfg.flat_chunks, 2))
+        tuned.append("sensitive -> Kc256/2-chunks (Gbp regime)")
     if getattr(args, "seed_ext", None) is None and cfg.seed_ext_max == 0:
         cfg = cfg.replace(seed_ext_max=20,
                           seed_ext_occ=getattr(args, "seed_ext_occ", 4))

@@ -325,3 +325,41 @@ def test_multichip_with_rate_groups(tmp_path, rng):
     assert main(base + ["-o", str(eight)]) == 0
     assert body(eight) == body(one)
     assert len(body(one)) == 24
+
+
+def test_gbp_preset_remap():
+    """Round 5: the small-genome --fast/--sensitive knobs are harmful at
+    Gbp scale (measured: --fast is no faster at recall 0.83; --sensitive
+    gdrops 14% of reads); autotune remaps them onto the candidate cap."""
+    import argparse
+
+    from bitmapperbs_tpu.cli import autotune_for_genome
+    from bitmapperbs_tpu.config import AlignerConfig
+
+    base = AlignerConfig(max_seed_occ=32, locate_budget=64,
+                         max_candidates=16)   # --fast small-genome knobs
+    cfg = autotune_for_genome(base, argparse.Namespace(fast=True), 3 << 30)
+    assert (cfg.max_seed_occ, cfg.locate_budget, cfg.max_candidates) == \
+        (128, 256, 64)
+    assert cfg.seed_ext_max == 20   # extension still auto-enabled
+
+    base = AlignerConfig(max_seed_occ=512, locate_budget=512,
+                         max_candidates=128)  # --sensitive knobs
+    cfg = autotune_for_genome(base, argparse.Namespace(sensitive=True),
+                              3 << 30)
+    assert (cfg.max_seed_occ, cfg.locate_budget, cfg.max_candidates) == \
+        (128, 256, 256)
+    assert cfg.flat_chunks >= 2
+
+    # explicit flags still win over the remap
+    cfg = autotune_for_genome(
+        AlignerConfig(max_candidates=32),
+        argparse.Namespace(fast=True, max_candidates=32), 3 << 30)
+    assert cfg.max_candidates == 32
+
+    # below the threshold the presets are untouched
+    cfg = autotune_for_genome(
+        AlignerConfig(max_seed_occ=32, locate_budget=64, max_candidates=16),
+        argparse.Namespace(fast=True), 100_000_000)
+    assert (cfg.max_seed_occ, cfg.locate_budget, cfg.max_candidates) == \
+        (32, 64, 16)
